@@ -1,0 +1,128 @@
+"""Integrator + collision + new-feature (field, moving container) tests."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from water_sandbox_tpu.core.params import (Container, InteractionField,
+                                           SimParams)
+from water_sandbox_tpu.ops import integrate as integ
+
+
+def params3(**kw):
+    return SimParams.create(dim=3, **kw)
+
+
+def test_velocity_and_position_update_order():
+    """v += (g+a)dt THEN x += v dt (semi-implicit Euler,
+    simulation.wgsl:280-281)."""
+    p = params3()
+    pos = jnp.zeros((1, 3))
+    vel = jnp.zeros((1, 3))
+    acc = jnp.zeros((1, 3))
+    new_pos, new_vel, pred = integ.integrate(pos, vel, acc, p, p.dt)
+    dt = float(p.dt)
+    np.testing.assert_allclose(float(new_vel[0, 1]), -9.8 * dt, rtol=1e-6)
+    # position uses the *updated* velocity
+    np.testing.assert_allclose(float(new_pos[0, 1]), -9.8 * dt * dt, rtol=1e-6)
+    # predicted = pos + vel * lookahead (wgsl:309, LOOKAHEAD_FACTOR = 1/50)
+    np.testing.assert_allclose(
+        float(pred[0, 1]), float(new_pos[0, 1]) + float(new_vel[0, 1]) / 50.0,
+        rtol=1e-6)
+
+
+def test_wall_clamp_and_velocity_flip():
+    """Per-axis clamp + v *= -damping (simulation.wgsl:284-306)."""
+    p = params3()
+    # ext_max.x = 8 - 0.1(particle radius) = 7.9
+    pos = jnp.asarray([[7.95, 0.0, 0.0]], jnp.float32)
+    vel = jnp.asarray([[2.0, 1.0, 0.0]], jnp.float32)
+    # zero gravity/acc: isolate the collision
+    p = p.replace(gravity=jnp.zeros(3))
+    new_pos, new_vel, _ = integ.integrate(pos, vel, jnp.zeros((1, 3)), p, p.dt)
+    assert np.isclose(float(new_pos[0, 0]), 7.9)
+    # x-velocity flipped and damped; y untouched
+    assert np.isclose(float(new_vel[0, 0]), -2.0 * 0.95)
+    assert np.isclose(float(new_vel[0, 1]), 1.0)
+
+
+def test_interaction_field_repels_and_attracts():
+    f_rep = InteractionField.create((0.0, 0.0, 0.0), strength=10.0, radius=2.0)
+    pos = jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32)
+    a = integ.field_acceleration(pos, f_rep)
+    assert float(a[0, 0]) > 0  # pushes away
+    np.testing.assert_allclose(float(a[0, 0]), 10.0 * 0.5, rtol=1e-6)
+
+    f_att = InteractionField.create((0.0, 0.0, 0.0), strength=-10.0, radius=2.0)
+    a = integ.field_acceleration(pos, f_att)
+    assert float(a[0, 0]) < 0  # pulls in
+
+    # outside radius: zero
+    far = jnp.asarray([[5.0, 0.0, 0.0]], jnp.float32)
+    np.testing.assert_allclose(np.asarray(integ.field_acceleration(far, f_rep)),
+                               0.0)
+
+    # zero strength disables exactly
+    f_off = InteractionField.inactive(3)
+    np.testing.assert_allclose(np.asarray(integ.field_acceleration(pos, f_off)),
+                               0.0)
+
+
+def test_static_container_matches_reference_semantics_even_when_inward():
+    """The reference flips velocity whenever position is out of bounds, even
+    if the velocity already points inward — replicate."""
+    p = params3().replace(gravity=jnp.zeros(3))
+    pos = jnp.asarray([[8.5, 0.0, 0.0]], jnp.float32)  # beyond +x wall
+    vel = jnp.asarray([[-1.0 / float(p.dt), 0.0, 0.0]], jnp.float32)
+    # after x += v*dt → 7.5 (inside) — no collision, no flip
+    new_pos, new_vel, _ = integ.integrate(pos, vel, jnp.zeros((1, 3)), p, p.dt)
+    assert np.isclose(float(new_pos[0, 0]), 7.5)
+    assert float(new_vel[0, 0]) < 0
+
+
+def test_moving_container_translates_collision_plane():
+    """A box translating +x at 1 m/s has its wall at center(t)+half-size."""
+    c = Container.create((0.0, 0.0, 0.0), (16.0, 9.0, 9.0), velocity=(1.0, 0, 0))
+    p = params3(container=c).replace(gravity=jnp.zeros(3))
+    t = jnp.float32(10.0)  # box center now at x=10 → +x wall at 17.9
+    pos = jnp.asarray([[17.0, 0.0, 0.0]], jnp.float32)
+    vel = jnp.asarray([[100.0, 0.0, 0.0]], jnp.float32)
+    new_pos, new_vel, _ = integ.integrate(pos, vel, jnp.zeros((1, 3)), p, t)
+    assert np.isclose(float(new_pos[0, 0]), 17.9, atol=1e-4)
+    # reflected velocity is relative to the wall (wall moves +1):
+    # v_rel = 100+dx/dt... just check it now points backwards relative to wall
+    assert float(new_vel[0, 0]) < 1.0
+
+
+def test_rotating_container_keeps_particles_inside_rotated_box():
+    c = Container.create((0.0, 0.0, 0.0), (4.0, 4.0, 4.0),
+                         angular_velocity=0.5)
+    p = params3(container=c).replace(gravity=jnp.zeros(3))
+    t = jnp.float32(1.3)
+    pos = jnp.asarray([[3.0, 0.5, -2.9]], jnp.float32)
+    vel = jnp.zeros((1, 3), jnp.float32)
+    new_pos, new_vel, _ = integ.integrate(pos, vel, jnp.zeros((1, 3)), p, t)
+    # check inside the rotated box: |R^T (p - c)| <= half - padding
+    angle = 0.5 * float(t)
+    cth, sth = np.cos(angle), np.sin(angle)
+    R = np.array([[cth, 0, sth], [0, 1, 0], [-sth, 0, cth]])
+    local = np.asarray(new_pos[0]) @ R
+    assert (np.abs(local) <= 2.0 - 0.1 + 1e-4).all()
+
+
+def test_static_container_zero_motion_reduces_to_reference():
+    """Moving-container math with zero velocity/spin must equal the simple
+    static path bit-for-bit-ish."""
+    p = params3()
+    pos = jnp.asarray([[7.95, -4.6, 0.0], [0.0, 0.0, 0.0]], jnp.float32)
+    vel = jnp.asarray([[2.0, -3.0, 0.5], [1.0, 1.0, 1.0]], jnp.float32)
+    new_pos, new_vel = integ.collide_container(
+        pos, vel, p.container, p.particle_radius, p.collision_damping,
+        jnp.float32(123.0))
+    # manual reference collision
+    lo = np.array([-8.0, -4.5, -4.5]) + 0.1
+    hi = np.array([8.0, 4.5, 4.5]) - 0.1
+    exp_pos = np.clip(np.asarray(pos), lo, hi)
+    hit = (np.asarray(pos) < lo) | (np.asarray(pos) > hi)
+    exp_vel = np.where(hit, np.asarray(vel) * -0.95, np.asarray(vel))
+    np.testing.assert_allclose(np.asarray(new_pos), exp_pos, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_vel), exp_vel, atol=1e-5)

@@ -1,0 +1,131 @@
+"""Command-line front end — the app-shell analogue of the reference's
+main.rs plugin assembly + menu (src/main.rs:27-46, src/menu.rs).
+
+    python -m water_sandbox_tpu.cli scenes
+    python -m water_sandbox_tpu.cli run --scene dam-break-2d-4k --steps 500 \
+        --export traj.npz --checkpoint end.npz --preview
+    python -m water_sandbox_tpu.cli resume --checkpoint end.npz --steps 100
+    python -m water_sandbox_tpu.cli bench --scene sort-stress-64k --steps 30
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _cmd_scenes(args):
+    from .models import scenes
+    for name in scenes.names():
+        print(f"{name:26s} {scenes.get(name).description}")
+
+
+def _make_sim(args):
+    from .runtime.runner import Simulation
+    overrides = {}
+    if args.neighbor_mode:
+        overrides["neighbor_mode"] = args.neighbor_mode
+    return Simulation.from_scene(args.scene, **overrides)
+
+
+def _cmd_run(args):
+    from .io.export import TrajectoryWriter
+    from .runtime import checkpoint
+    from .viz import raster
+
+    sim = _make_sim(args)
+    writer = None
+    if args.export:
+        writer = TrajectoryWriter(args.export, {"scene": args.scene})
+        writer.add_frame(sim.positions(), 0.0)
+
+    done = 0
+    while done < args.steps:
+        chunk = min(args.record_every, args.steps - done)
+        sim.run(chunk)
+        done += chunk
+        if writer:
+            writer.add_frame(sim.positions(), float(sim.state.time))
+        if args.preview:
+            img = raster.density_image(sim.state, sim.params, 96, 28)
+            print(f"\n--- step {int(sim.state.step_count)} ---")
+            print(raster.ascii_preview(img))
+    print(json.dumps(sim.stats(), default=float))
+
+    if writer:
+        print(f"trajectory -> {writer.write()}")
+    if args.checkpoint:
+        checkpoint.save(args.checkpoint, sim.state, sim.params, sim.cfg)
+        print(f"checkpoint -> {args.checkpoint}")
+
+
+def _cmd_resume(args):
+    from .runtime import checkpoint
+    from .runtime.runner import Simulation
+
+    state, params, cfg = checkpoint.load(args.checkpoint)
+    sim = Simulation(cfg, params, state, name="resumed")
+    sim.run(args.steps)
+    print(json.dumps(sim.stats(), default=float))
+    if args.out:
+        checkpoint.save(args.out, sim.state, sim.params, sim.cfg)
+        print(f"checkpoint -> {args.out}")
+
+
+def _cmd_bench(args):
+    import numpy as np
+    sim = _make_sim(args)
+    sim.run(1)
+    np.asarray(sim.state.pos)  # hard sync through the device queue
+    t0 = time.perf_counter()
+    sim.run(args.steps)
+    np.asarray(sim.state.pos)
+    wall = time.perf_counter() - t0
+    rate = args.steps * sim.cfg.n / wall
+    print(json.dumps({
+        "scene": args.scene, "n": sim.cfg.n, "steps": args.steps,
+        "wall_s": round(wall, 3), "particle_steps_per_s": rate,
+        "ms_per_step": 1000 * wall / args.steps,
+    }))
+
+
+def main(argv=None):
+    import os
+    if os.environ.get("WST_FORCE_CPU"):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    p = argparse.ArgumentParser(prog="water-sandbox-tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("scenes", help="list registered scenes")
+
+    run = sub.add_parser("run", help="run a scene")
+    run.add_argument("--scene", default="dam-break-2d-4k")
+    run.add_argument("--steps", type=int, default=100)
+    run.add_argument("--record-every", type=int, default=50)
+    run.add_argument("--neighbor-mode", default=None)
+    run.add_argument("--export", default=None, help="trajectory .npz path")
+    run.add_argument("--checkpoint", default=None, help="final-state .npz")
+    run.add_argument("--preview", action="store_true",
+                     help="ASCII density heat map during the run")
+
+    res = sub.add_parser("resume", help="resume from a checkpoint")
+    res.add_argument("--checkpoint", required=True)
+    res.add_argument("--steps", type=int, default=100)
+    res.add_argument("--out", default=None)
+
+    ben = sub.add_parser("bench", help="measure step throughput")
+    ben.add_argument("--scene", default="sort-stress-64k")
+    ben.add_argument("--steps", type=int, default=20)
+    ben.add_argument("--neighbor-mode", default=None)
+
+    args = p.parse_args(argv)
+    {"scenes": _cmd_scenes, "run": _cmd_run, "resume": _cmd_resume,
+     "bench": _cmd_bench}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    main()

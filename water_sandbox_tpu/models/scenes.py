@@ -1,0 +1,207 @@
+"""Scene definitions and the scene registry.
+
+The reference hard-codes one scene: a 64×32×32 lattice cube of 65,536
+particles centered in a 16×9×9 box (/root/reference/src/fluid_compute.rs:15-17,285
+via cube_fluid, src/helpers.rs:3-20). Here scenes are first-class: a scene
+builds (SimConfig, SimParams, FluidState) and the registry covers the
+BASELINE.md config ladder (4k → 16k → 64k → 256k → 1M+).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.params import (Container, InteractionField, SimConfig, SimParams,
+                           DEFAULT_PARTICLE_RADIUS, DEFAULT_SMOOTHING_RADIUS)
+from ..core.state import FluidState, init_state
+from ..ops import hashing
+
+
+def cube_fluid(ni: int, nj: int, nk: int | None = None,
+               particle_radius: float = DEFAULT_PARTICLE_RADIUS,
+               center=None, dtype=jnp.float32):
+    """Axis-aligned lattice of ni·nj(·nk) points at 2r spacing, centered at
+    the origin (or `center`). Port of cube_fluid
+    (/root/reference/src/helpers.rs:3-20); nk=None gives the 2-D variant.
+
+    Built with numpy (host) — scene construction is init-time, not hot path.
+    """
+    dims = [ni, nj] if nk is None else [ni, nj, nk]
+    r = particle_radius
+    half = np.array(dims, np.float32) * r
+    offset = r - half
+    axes = [np.arange(d, dtype=np.float32) * (2 * r) for d in dims]
+    grids = np.meshgrid(*axes, indexing="ij")
+    pts = np.stack([g.reshape(-1) for g in grids], axis=-1) + offset
+    if center is not None:
+        pts = pts + np.asarray(center, np.float32)
+    return jnp.asarray(pts, dtype)
+
+
+@dataclasses.dataclass(frozen=True)
+class Scene:
+    name: str
+    description: str
+    build: Callable[[], tuple]  # () -> (SimConfig, SimParams, FluidState)
+
+
+_REGISTRY: dict[str, Scene] = {}
+
+
+def register(name: str, description: str):
+    def deco(fn):
+        _REGISTRY[name] = Scene(name, description, fn)
+        return fn
+    return deco
+
+
+def get(name: str) -> Scene:
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown scene {name!r}; have {sorted(_REGISTRY)}")
+    return _REGISTRY[name]
+
+
+def names() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+def _grid_dims_for(container_size, h=DEFAULT_SMOOTHING_RADIUS):
+    return hashing.default_grid_dims(container_size, h)
+
+
+def build(name: str, **overrides):
+    """Build a scene; overrides replace SimConfig fields (e.g.
+    neighbor_mode='dense')."""
+    cfg, params, state = get(name).build()
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
+    return cfg, params, state
+
+
+@register("reference-cube",
+          "the reference scene: 64x32x32 = 65,536 particle cube in a "
+          "16x9x9 box (fluid_compute.rs:15-17,285)")
+def _reference_cube():
+    pts = cube_fluid(64, 32, 32)
+    cfg = SimConfig(n=pts.shape[0], dim=3,
+                    grid_dims=_grid_dims_for((16.0, 9.0, 9.0)),
+                    cell_capacity=24)
+    params = SimParams.create(dim=3)
+    return cfg, params, init_state(pts)
+
+
+def _cube_for_n(target_n: int, dim: int, container_size, aspect=(2.0, 1.0, 1.0)):
+    """Lattice dims whose product is ~target_n with the given aspect."""
+    aspect = aspect[:dim]
+    scale = (target_n / math.prod(aspect)) ** (1.0 / dim)
+    dims = [max(1, round(a * scale)) for a in aspect]
+    return dims
+
+
+def lattice_rest_density(spacing: float, h: float, dim: int) -> float:
+    """Rest density of an infinite lattice at `spacing` under the density
+    kernel — used to pick a physically-settled target_density for new scenes
+    (the reference's target of 10 deliberately makes its cube explode and
+    settle; see src/fluid_compute.rs:23)."""
+    from ..core.params import KernelCoeffs
+    reach = int(math.ceil(h / spacing))
+    axes = [np.arange(-reach, reach + 1) * spacing] * dim
+    grids = np.meshgrid(*axes, indexing="ij")
+    d = np.sqrt(sum(g * g for g in grids)).reshape(-1)
+    d = d[d <= h]
+    k = KernelCoeffs.from_radius(jnp.asarray(h, jnp.float32), dim)
+    v = h - d
+    return float(np.sum(v * v) * float(k.pow2))
+
+
+@register("dam-break-2d-4k",
+          "BASELINE config 1: 2-D dam break, ~4k particles, gravity + "
+          "pressure (viscosity off)")
+def _dam_break_2d_4k():
+    size = (16.0, 9.0)
+    r = 0.05
+    ni, nj = 50, 80  # 4000 particles, 5 m x 8 m column
+    pts = cube_fluid(ni, nj, None, particle_radius=r,
+                     center=(-8.0 + ni * r + 0.1, -4.5 + nj * r + 0.1))
+    cfg = SimConfig(n=pts.shape[0], dim=2, grid_dims=_grid_dims_for(size),
+                    cell_capacity=16)
+    params = SimParams.create(
+        dim=2, container=Container.create((0.0, 0.0), size),
+        particle_radius=r, viscosity_strength=0.0,
+        target_density=lattice_rest_density(2 * r, DEFAULT_SMOOTHING_RADIUS, 2))
+    return cfg, params, init_state(pts)
+
+
+@register("interactive-2d-16k",
+          "BASELINE config 2: 2-D, ~16k particles, viscosity + interaction "
+          "force field (NEW feature, no reference counterpart)")
+def _interactive_2d_16k():
+    size = (24.0, 12.0)
+    r = 0.05
+    pts = cube_fluid(200, 80, None, particle_radius=r,
+                     center=(0.0, -6.0 + 80 * r + 0.1))  # 16,000
+    cfg = SimConfig(n=pts.shape[0], dim=2, grid_dims=_grid_dims_for(size),
+                    cell_capacity=16)
+    params = SimParams.create(
+        dim=2, container=Container.create((0.0, 0.0), size),
+        particle_radius=r,
+        target_density=lattice_rest_density(2 * r, DEFAULT_SMOOTHING_RADIUS, 2),
+        field=InteractionField.create((0.0, 0.0), strength=15.0, radius=2.0))
+    return cfg, params, init_state(pts)
+
+
+@register("sort-stress-64k",
+          "BASELINE config 3: 64k particles, neighbor-pipeline stress "
+          "(the reference's own particle count)")
+def _sort_stress_64k():
+    pts = cube_fluid(64, 32, 32)
+    cfg = SimConfig(n=pts.shape[0], dim=3,
+                    grid_dims=_grid_dims_for((16.0, 9.0, 9.0)),
+                    cell_capacity=24, chunk=4096)
+    params = SimParams.create(dim=3)
+    return cfg, params, init_state(pts)
+
+
+@register("moving-container-256k",
+          "BASELINE config 4: 256k particles with a translating+yawing "
+          "container (NEW feature — reference container is static)")
+def _moving_container_256k():
+    size = (24.0, 14.0, 14.0)
+    pts = cube_fluid(102, 51, 51)  # 265,302 — non-power-of-two on purpose
+    cfg = SimConfig(n=pts.shape[0], dim=3, grid_dims=_grid_dims_for(size),
+                    cell_capacity=24, chunk=8192)
+    params = SimParams.create(
+        dim=3,
+        container=Container.create((0.0, 0.0, 0.0), size,
+                                   velocity=(0.5, 0.0, 0.0),
+                                   angular_velocity=0.1))
+    return cfg, params, init_state(pts)
+
+
+@register("sharded-1m",
+          "BASELINE config 5: ~1M particles for multi-chip domain "
+          "decomposition (parallel/domain.py)")
+def _sharded_1m():
+    size = (32.0, 14.0, 14.0)
+    pts = cube_fluid(160, 80, 80)  # 1,024,000
+    cfg = SimConfig(n=pts.shape[0], dim=3, grid_dims=_grid_dims_for(size),
+                    cell_capacity=24, chunk=8192)
+    params = SimParams.create(
+        dim=3, container=Container.create((0.0, 0.0, 0.0), size))
+    return cfg, params, init_state(pts)
+
+
+@register("mini-3d",
+          "tiny 3-D cube for tests and smoke runs (512 particles)")
+def _mini_3d():
+    pts = cube_fluid(8, 8, 8)
+    cfg = SimConfig(n=pts.shape[0], dim=3,
+                    grid_dims=_grid_dims_for((16.0, 9.0, 9.0)),
+                    cell_capacity=16, chunk=256)
+    params = SimParams.create(dim=3)
+    return cfg, params, init_state(pts)
