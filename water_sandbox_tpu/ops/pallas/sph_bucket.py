@@ -1,0 +1,366 @@
+"""Fused Pallas TPU kernels for the SPH density and force passes.
+
+This is the performance layer — the TPU-native replacement for the
+reference's WGSL compute pipeline (assets/simulation.wgsl entry points
+update_density :144-195 and update_pressure_force :198-269). Where the GPU
+walks sorted hash runs with data-dependent loops, these kernels work on the
+slot-major cell-bucket layout built by ops.grid.build_bucket_grid:
+
+* the flat cell axis is laid out in x-slabs padded to a 128-lane stride
+  (S_pad), so every DMA window offset is tiling-aligned by construction
+  (Mosaic requires provably 128-divisible dynamic lane offsets);
+* each program owns one x-slab and manually DMAs a 3-slab halo window
+  (x-1, x, x+1, each with a 128-cell margin) from HBM into VMEM — three
+  contiguous strided copies, no per-row gathers;
+* all 3^dim neighbor offsets become *static* slices of the VMEM window
+  (the flat-offset trick of ops.grid._roll_shifts; spatially-far aliases at
+  row wrap are removed by the per-pair distance filter);
+* pair math runs as dense masked (C × S_pad) blocks with a fori loop over
+  the candidate slot, keeping temporaries small and the lane dimension
+  (cells) wide.
+
+The two passes are separate pallas_calls so the force pass reads exact
+neighbor densities without recomputing halo densities.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...core.params import DENSITY_PADDING, KernelCoeffs, SimConfig, SimParams
+from .. import grid as grid_mod
+
+Array = jax.Array
+
+_M = 128  # window margin cells (covers oy/oz reach-back; keeps alignment)
+
+# scalar-parameter slots (SMEM (1, 16) f32)
+_P_H = 0
+_P_POW2 = 1
+_P_POW2_DER = 2
+_P_POW3 = 3
+_P_POW3_DER = 4
+_P_SPIKEY = 5
+_P_PRESSURE = 6
+_P_NEAR_PRESSURE = 7
+_P_TARGET_DENSITY = 8
+_P_VISCOSITY = 9
+
+
+def _offsets(dim: int):
+    import itertools
+    return list(itertools.product((-1, 0, 1), repeat=dim))
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _geometry(cfg: SimConfig):
+    dims = cfg.grid_dims
+    gx, gy = dims[0], dims[1]
+    gz = dims[2] if cfg.dim == 3 else 1
+    if gz > _M - 1:
+        raise ValueError(
+            f"pallas path needs grid z-dim < {_M}; got {gz} — use the "
+            "bucket_grid XLA path or a coarser grid")
+    S = gy * gz
+    S_pad = _round_up(S, _M)
+    CL = S_pad + 2 * _M        # chunk stride in the VMEM window
+    PAD = S_pad + _M           # front/back padding of the HBM layout
+    return gx, gy, gz, S, S_pad, CL, PAD
+
+
+def _to_slab_layout(feats: Array, gx: int, S: int, S_pad: int, PAD: int):
+    """(F, C, gx·S) → (F, C, PAD + gx·S_pad + PAD), zeros in dead cells."""
+    F, C, _ = feats.shape
+    slabs = feats.reshape(F, C, gx, S)
+    slabs = jnp.pad(slabs, ((0, 0), (0, 0), (0, 0), (0, S_pad - S)))
+    flat = slabs.reshape(F, C, gx * S_pad)
+    return jnp.pad(flat, ((0, 0), (0, 0), (PAD, PAD)))
+
+
+def _window_dma(feats_ref, scratch, sems, i, *, S_pad, CL):
+    """Start+wait the three halo-slab copies for slab i. In the padded HBM
+    layout, chunk c's window starts at (i + c)·S_pad — always 128-aligned."""
+    copies = []
+    for c in range(3):
+        start = (i + c) * S_pad
+        cp = pltpu.make_async_copy(
+            feats_ref.at[:, :, pl.ds(start, CL)],
+            scratch.at[:, :, pl.ds(c * CL, CL)],
+            sems.at[c],
+        )
+        cp.start()
+        copies.append(cp)
+    for cp in copies:
+        cp.wait()
+
+
+def _cand_start(off, *, CL, gz):
+    """Static window-local column of the first candidate cell for a query at
+    the tile start, for neighbor offset `off`."""
+    if len(off) == 3:
+        ox, oy, oz = off
+    else:
+        ox, oy = off
+        oz = 0
+    return (ox + 1) * CL + _M + oy * gz + oz
+
+
+def _write_out(out_ref, planes, scratch_out, out_sem, i, *, S_pad):
+    """Stage result planes in VMEM and DMA to the slab-aligned HBM output."""
+    for k, p in enumerate(planes):
+        scratch_out[k] = p
+    cp = pltpu.make_async_copy(
+        scratch_out, out_ref.at[:, :, pl.ds(i * S_pad, S_pad)], out_sem)
+    cp.start()
+    cp.wait()
+
+
+def _density_kernel(params_ref, feats_ref, out_ref, scratch, sems,
+                    scratch_out, out_sem, *, dim, cap, gz, S_pad, CL):
+    i = pl.program_id(0)
+    _window_dma(feats_ref, scratch, sems, i, S_pad=S_pad, CL=CL)
+
+    h = params_ref[0, _P_H]
+    pow2 = params_ref[0, _P_POW2]
+    pow3 = params_ref[0, _P_POW3]
+
+    qs = CL + _M  # window-local start of this slab's real cells
+    T = S_pad
+    qpos = [scratch[a, :, pl.ds(qs, T)] for a in range(dim)]   # (C, T)
+
+    den = jnp.zeros((cap, T), jnp.float32)
+    nden = jnp.zeros((cap, T), jnp.float32)
+
+    for off in _offsets(dim):
+        cs = _cand_start(off, CL=CL, gz=gz)
+
+        def n_body(n, carry):
+            den, nden = carry
+            dist2 = jnp.zeros((cap, T), jnp.float32)
+            for a in range(dim):
+                d_a = scratch[a, n, pl.ds(cs, T)][None, :] - qpos[a]
+                dist2 = dist2 + d_a * d_a
+            dist = jnp.sqrt(dist2)
+            mask_n = scratch[dim, n, pl.ds(cs, T)][None, :]
+            # self-interaction included, like the reference walk
+            # (simulation.wgsl:162-183)
+            m = jnp.where(dist <= h, mask_n, 0.0)
+            v = h - jnp.minimum(dist, h)
+            den = den + m * (v * v * pow2)
+            nden = nden + m * (v * v * v * pow3)
+            return den, nden
+
+        den, nden = jax.lax.fori_loop(0, cap, n_body, (den, nden))
+
+    den = den + DENSITY_PADDING
+    nden = nden + DENSITY_PADDING
+    prs = params_ref[0, _P_PRESSURE] * (den - params_ref[0, _P_TARGET_DENSITY])
+    nprs = params_ref[0, _P_NEAR_PRESSURE] * nden
+
+    _write_out(out_ref, [den, nden, prs, nprs], scratch_out, out_sem, i,
+               S_pad=S_pad)
+
+
+def _force_kernel(params_ref, feats_ref, out_ref, scratch, sems,
+                  scratch_out, out_sem, *, dim, cap, gz, S_pad, CL):
+    i = pl.program_id(0)
+    _window_dma(feats_ref, scratch, sems, i, S_pad=S_pad, CL=CL)
+
+    h = params_ref[0, _P_H]
+    pow2_der = params_ref[0, _P_POW2_DER]
+    pow3_der = params_ref[0, _P_POW3_DER]
+    spikey = params_ref[0, _P_SPIKEY]
+    viscosity = params_ref[0, _P_VISCOSITY]
+
+    # feats plane layout (bucket_sph below):
+    #   [0:dim) pos | dim mask | [dim+1:2dim+1) vel |
+    #   2dim+1 den | 2dim+2 nden | 2dim+3 prs | 2dim+4 nprs
+    MASK = dim
+    VEL = dim + 1
+    DEN = 2 * dim + 1
+    NDEN = 2 * dim + 2
+    PRS = 2 * dim + 3
+    NPRS = 2 * dim + 4
+
+    qs = CL + _M
+    T = S_pad
+    qpos = [scratch[a, :, pl.ds(qs, T)] for a in range(dim)]
+    qvel = [scratch[VEL + a, :, pl.ds(qs, T)] for a in range(dim)]
+    qden = scratch[DEN, :, pl.ds(qs, T)]
+    qprs = scratch[PRS, :, pl.ds(qs, T)]
+    qnprs = scratch[NPRS, :, pl.ds(qs, T)]
+
+    pforce = [jnp.zeros((cap, T), jnp.float32) for _ in range(dim)]
+    vforce = [jnp.zeros((cap, T), jnp.float32) for _ in range(dim)]
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)
+
+    for off in _offsets(dim):
+        cs = _cand_start(off, CL=CL, gz=gz)
+        is_center = all(o == 0 for o in off)
+
+        def n_body(n, carry):
+            pforce, vforce = carry
+            disp = []
+            dist2 = jnp.zeros((cap, T), jnp.float32)
+            for a in range(dim):
+                d_a = scratch[a, n, pl.ds(cs, T)][None, :] - qpos[a]
+                disp.append(d_a)
+                dist2 = dist2 + d_a * d_a
+            dist = jnp.sqrt(dist2)
+            mask_n = scratch[MASK, n, pl.ds(cs, T)][None, :]
+            m = jnp.where(dist <= h, mask_n, 0.0)
+            if is_center:
+                # skip the self pair (simulation.wgsl:231-233)
+                m = m * (row_ids != n).astype(jnp.float32)
+            dc = jnp.minimum(dist, h)
+
+            inv = jnp.where(dist > 0.0,
+                            1.0 / jnp.where(dist > 0.0, dist, 1.0), 0.0)
+            zero_dist = (dist == 0.0).astype(jnp.float32)
+
+            den_n = scratch[DEN, n, pl.ds(cs, T)][None, :]
+            nden_n = scratch[NDEN, n, pl.ds(cs, T)][None, :]
+            den_n = jnp.where(den_n > 0.0, den_n, 1.0)
+            nden_n = jnp.where(nden_n > 0.0, nden_n, 1.0)
+            prs_n = scratch[PRS, n, pl.ds(cs, T)][None, :]
+            nprs_n = scratch[NPRS, n, pl.ds(cs, T)][None, :]
+
+            shared_p = (qprs + prs_n) * 0.5
+            shared_np = (qnprs + nprs_n) * 0.5
+            v = dc - h
+            scale = m * (shared_p * (v * pow2_der) / den_n
+                         + shared_np * (v * v * pow3_der) / nden_n)
+
+            hv = h * h - dc * dc
+            w_visc = m * (hv * hv * hv * spikey)
+
+            for a in range(dim):
+                dir_a = disp[a] * inv
+                if a == 1:
+                    dir_a = dir_a + zero_dist  # +y fallback (wgsl:243-248)
+                pforce[a] = pforce[a] + dir_a * scale
+                vel_n = scratch[VEL + a, n, pl.ds(cs, T)][None, :]
+                vforce[a] = vforce[a] + (vel_n - qvel[a]) * w_visc
+            return pforce, vforce
+
+        pforce, vforce = jax.lax.fori_loop(0, cap, n_body, (pforce, vforce))
+
+    qden_safe = jnp.where(qden > 0.0, qden, 1.0)
+    acc = [pforce[a] / qden_safe + viscosity * vforce[a] for a in range(dim)]
+    _write_out(out_ref, acc, scratch_out, out_sem, i, S_pad=S_pad)
+
+
+def _param_vector(params: SimParams, coeffs: KernelCoeffs) -> Array:
+    v = jnp.zeros((1, 16), jnp.float32)
+    v = v.at[0, _P_H].set(params.smoothing_radius)
+    v = v.at[0, _P_POW2].set(coeffs.pow2)
+    v = v.at[0, _P_POW2_DER].set(coeffs.pow2_der)
+    v = v.at[0, _P_POW3].set(coeffs.pow3)
+    v = v.at[0, _P_POW3_DER].set(coeffs.pow3_der)
+    v = v.at[0, _P_SPIKEY].set(coeffs.spikey_pow3)
+    v = v.at[0, _P_PRESSURE].set(params.pressure_scalar)
+    v = v.at[0, _P_NEAR_PRESSURE].set(params.near_pressure_scalar)
+    v = v.at[0, _P_TARGET_DENSITY].set(params.target_density)
+    v = v.at[0, _P_VISCOSITY].set(params.viscosity_strength)
+    return v
+
+
+def _run_pass(kernel_body, feats: Array, params_vec: Array, cfg: SimConfig,
+              n_out: int, interpret: bool):
+    gx, gy, gz, S, S_pad, CL, PAD = _geometry(cfg)
+    dim, cap = cfg.dim, cfg.cell_capacity
+    F = feats.shape[0]
+
+    feats_pad = _to_slab_layout(feats, gx, S, S_pad, PAD)
+    body = functools.partial(kernel_body, dim=dim, cap=cap, gz=gz,
+                             S_pad=S_pad, CL=CL)
+
+    out = pl.pallas_call(
+        body,
+        grid=(gx,),
+        in_specs=[
+            pl.BlockSpec((1, 16), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        out_shape=jax.ShapeDtypeStruct((n_out, cap, gx * S_pad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((F, cap, 3 * CL), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((n_out, cap, S_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(params_vec, feats_pad)
+    return out
+
+
+def _padded_addr(addr: Array, cap: int, nc: int, S: int, S_pad: int,
+                 gx: int) -> Array:
+    """Map bucket addresses (slot·nc + cid) into the slab-padded output
+    layout (slot·gx·S_pad + x·S_pad + r); overflow sentinel maps to the
+    one-past-end fill row."""
+    sentinel = addr >= cap * nc
+    slot = addr // nc
+    cid = addr % nc
+    x = cid // S
+    r = cid % S
+    out = slot * (gx * S_pad) + x * S_pad + r
+    return jnp.where(sentinel, cap * gx * S_pad, out)
+
+
+def bucket_sph(predicted: Array, vel: Array, params: SimParams,
+               coeffs: KernelCoeffs, cfg: SimConfig, interpret: bool = False):
+    """Pallas-accelerated bucket SPH: same contract as ops.grid.bucket_sph —
+    per-particle (den, nden, prs, nprs, acc, overflow)."""
+    grid = grid_mod.build_bucket_grid(predicted, vel, params, cfg)
+    dim = cfg.dim
+    gx, gy, gz, S, S_pad, CL, PAD = _geometry(cfg)
+    nc = gx * S
+
+    params_vec = _param_vector(params, coeffs)
+
+    # density pass: planes [pos | mask]
+    feats_d = jnp.concatenate(
+        [grid.cell_pos, grid.cell_mask[None]], axis=0)
+    dens = _run_pass(_density_kernel, feats_d, params_vec, cfg, 4, interpret)
+    den_c, nden_c, prs_c, nprs_c = dens[0], dens[1], dens[2], dens[3]
+
+    # force pass: planes [pos | mask | vel | den | nden | prs | nprs] — the
+    # density planes come back from the padded layout
+    def unpad(plane):  # (C, gx·S_pad) → (C, nc)
+        return plane.reshape(plane.shape[0], gx, S_pad)[:, :, :S].reshape(
+            plane.shape[0], nc)
+
+    feats_f = jnp.concatenate(
+        [grid.cell_pos, grid.cell_mask[None], grid.cell_vel,
+         unpad(den_c)[None], unpad(nden_c)[None], unpad(prs_c)[None],
+         unpad(nprs_c)[None]], axis=0)
+    acc_c = _run_pass(_force_kernel, feats_f, params_vec, cfg, dim, interpret)
+
+    addr_p = _padded_addr(grid.addr, cfg.cell_capacity, nc, S, S_pad, gx)
+
+    def from_padded(cell_arr, fill):
+        if cell_arr.ndim == 2:
+            flat = cell_arr.reshape(-1)
+            flat = jnp.concatenate([flat, jnp.full((1,), fill, flat.dtype)])
+            return jnp.take(flat, addr_p)
+        return jnp.stack([from_padded(cell_arr[a], fill)
+                          for a in range(cell_arr.shape[0])], axis=-1)
+
+    den = from_padded(den_c, params.target_density)
+    nden = from_padded(nden_c, DENSITY_PADDING)
+    prs = from_padded(prs_c, 0.0)
+    nprs = from_padded(nprs_c, 0.0)
+    acc = from_padded(acc_c, 0.0)
+    return den, nden, prs, nprs, acc, grid.overflow

@@ -81,7 +81,9 @@ class Simulation:
         self.state = step_mod.rollout(self.state, self.params, self.cfg,
                                       num_steps)
         if block:
-            jax.block_until_ready(self.state.pos)
+            # NOTE: block_until_ready does not reliably block on the axon TPU
+            # tunnel; a scalar device_get forces the queue to drain.
+            jax.device_get(self.state.step_count)
             dt_wall = _time.perf_counter() - t0
             self.metrics.record_steps(num_steps, self.cfg.n, dt_wall)
         return self
