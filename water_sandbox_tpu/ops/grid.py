@@ -127,14 +127,21 @@ def build_bucket_grid(predicted: Array, vel: Array, params: SimParams,
     order = jnp.argsort(cid).astype(jnp.int32)
     sorted_cid = cid[order]
     ranks = jnp.arange(n, dtype=jnp.int32)
-    starts = jnp.full((nc,), n, jnp.int32).at[sorted_cid].min(ranks)
-    slot = ranks - starts[sorted_cid]
+    # rank-within-cell via a running max over run boundaries — no (nc,)
+    # scatter-min table needed (the functional analogue of the reference's
+    # atomicMin cell offsets, bitonic_sort.wgsl:49-59)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_cid[1:] != sorted_cid[:-1]])
+    run_start = jax.lax.cummax(jnp.where(first, ranks, 0))
+    slot = ranks - run_start
     ok = slot < cap
     flat = jnp.where(ok, slot * nc + sorted_cid, cap * nc)
 
     def scatter(values, fill):
         out = jnp.full((cap * nc + 1,), fill, dtype)
-        return out.at[flat].set(values, mode="drop")[:-1].reshape(cap, nc)
+        # every particle has a distinct (slot, cell) address
+        return out.at[flat].set(values, mode="drop",
+                                unique_indices=True)[:-1].reshape(cap, nc)
 
     cell_pos = jnp.stack(
         [scatter(jnp.take(predicted[:, a], order), _FAR) for a in range(dim)])
@@ -143,7 +150,7 @@ def build_bucket_grid(predicted: Array, vel: Array, params: SimParams,
     cell_mask = scatter(jnp.ones((n,), dtype), 0.0)
 
     # addr in particle order (invert the sort): addr[order[r]] = flat[r]
-    addr = jnp.zeros((n,), jnp.int32).at[order].set(flat)
+    addr = jnp.zeros((n,), jnp.int32).at[order].set(flat, unique_indices=True)
     overflow = (n - jnp.sum(ok)).astype(jnp.int32)
     return BucketGrid(cell_pos=cell_pos, cell_vel=cell_vel,
                       cell_mask=cell_mask, addr=addr, origin=origin,

@@ -1,0 +1,368 @@
+"""Explicit spatial domain decomposition — shard_map + ppermute halo exchange.
+
+The hand-scheduled counterpart of parallel/gspmd.py (SURVEY.md §5's
+"ring-communication analogue": each shard exchanges one-slab boundary cell
+planes with its mesh neighbors over ICI, like ring attention exchanges KV
+blocks). The reference has no multi-device story at all (single GPU,
+SURVEY.md §2); this module is the scaling layer designed for it.
+
+Scheme (1-D mesh over the container's x axis):
+
+* Every device owns a fixed-capacity slice of the particle arrays
+  (n_global = ndev · P slots, row-sharded; inactive slots masked). Ownership
+  is by cell-x slab: device d owns cells [d·gx_loc, (d+1)·gx_loc).
+* Per step, each device buckets its *local* particles into its slab range of
+  the global bounded grid (grid anchored to the container — a deterministic
+  anchor all devices agree on, unlike the single-chip dynamic anchor).
+* Halo exchange: the boundary x-slab bucket planes (positions+mask, then
+  density fields) travel to mesh neighbors via two `lax.ppermute`s (left and
+  right). Density is computed for local+halo slabs, forces for local slabs
+  only — so each pair is computed by its owner with exact neighbor data.
+* Migration: after integration, particles whose new cell-x lies outside the
+  local slab are packed into fixed-capacity send buffers, ppermuted to the
+  neighbor, and merged into free slots (fluids move ≤ one slab per step for
+  any sane dt; violations are counted, not lost silently — they stay local
+  and re-migrate next step).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.params import DENSITY_PADDING, KernelCoeffs, SimConfig, SimParams
+from ..core.state import FluidState
+from ..ops import grid as grid_mod, hashing, integrate as integrate_mod
+from ..ops.grid import _FAR
+
+Array = jax.Array
+
+
+def _grid_origin_static(params: SimParams, cfg: SimConfig) -> Array:
+    """Deterministic grid anchor shared by all devices: one cell below the
+    container's minimum corner (padded for the prediction lookahead)."""
+    h = params.smoothing_radius
+    c = params.container
+    return c.center - c.half_size - 2.0 * h
+
+
+def shard_state(state: FluidState, mesh: Mesh, cfg: SimConfig,
+                params: SimParams, slack: float = 2.0):
+    """Re-pack a dense state into fixed-capacity per-device slabs.
+
+    Returns (padded FluidState with n = ndev·P, active mask (ndev·P,)).
+    Particles are assigned to devices by cell-x slab so locality holds from
+    step one."""
+    ndev = mesh.devices.size
+    n = state.n
+    gx = cfg.grid_dims[0]
+    assert gx % ndev == 0, "grid_dims[0] must divide by mesh size"
+    gx_loc = gx // ndev
+    P_cap = int(-(-n // ndev) * slack)
+
+    origin = _grid_origin_static(params, cfg)
+    cell = jnp.floor((state.predicted - origin) / params.smoothing_radius)
+    owner = jnp.clip(cell[:, 0].astype(jnp.int32) // gx_loc, 0, ndev - 1)
+
+    # host-side packing (init-time only)
+    import numpy as np
+    owner_np = np.asarray(owner)
+    idx_by_dev = [np.where(owner_np == d)[0] for d in range(ndev)]
+    for d, idx in enumerate(idx_by_dev):
+        if len(idx) > P_cap:
+            raise ValueError(
+                f"device {d} gets {len(idx)} particles > capacity {P_cap}; "
+                "raise slack")
+
+    def pack(arr, fill):
+        arr_np = np.asarray(arr)
+        out = np.full((ndev * P_cap,) + arr_np.shape[1:], fill, arr_np.dtype)
+        for d, idx in enumerate(idx_by_dev):
+            out[d * P_cap:d * P_cap + len(idx)] = arr_np[idx]
+        return jnp.asarray(out)
+
+    active = np.zeros((ndev * P_cap,), np.float32)
+    for d, idx in enumerate(idx_by_dev):
+        active[d * P_cap:d * P_cap + len(idx)] = 1.0
+
+    packed = FluidState(
+        pos=pack(state.pos, _FAR),
+        vel=pack(state.vel, 0.0),
+        predicted=pack(state.predicted, _FAR),
+        acc=pack(state.acc, 0.0),
+        density=pack(state.density, 0.0),
+        near_density=pack(state.near_density, 0.0),
+        pressure=pack(state.pressure, 0.0),
+        near_pressure=pack(state.near_pressure, 0.0),
+        step_count=state.step_count,
+        time=state.time,
+    )
+    axis = mesh.axis_names[0]
+
+    def place(x):
+        if x.ndim == 0:
+            return jax.device_put(x, NamedSharding(mesh, P()))
+        return jax.device_put(
+            x, NamedSharding(mesh, P(*([axis] + [None] * (x.ndim - 1)))))
+
+    return jax.tree.map(place, packed), place(jnp.asarray(active))
+
+
+def _local_buckets(pred, vel, active, origin, params, cfg, gx_loc, my_dev):
+    """Bucket local particles into the local slab range (+ nothing else).
+    Particles currently outside the local slab (pre-migration stragglers)
+    are clamped into the boundary slab; the distance filter keeps physics
+    exact because their positions are untouched."""
+    h = params.smoothing_radius
+    dims = cfg.grid_dims
+    S = 1
+    for d in dims[1:]:
+        S *= d
+    nc_loc = gx_loc * S
+    cap = cfg.cell_capacity
+    Pn, dim = pred.shape
+
+    cell = jnp.floor((pred - origin) / h).astype(jnp.int32)
+    dims_arr = jnp.asarray(dims, jnp.int32)
+    cell = jnp.clip(cell, 0, dims_arr - 1)
+    cx_local = jnp.clip(cell[:, 0] - my_dev * gx_loc, 0, gx_loc - 1)
+    rest = cell[:, 1]
+    for a in range(2, len(dims)):
+        rest = rest * dims[a] + cell[:, a]
+    cid = cx_local * S + rest
+    # inactive slots go to the drop address
+    order = jnp.argsort(jnp.where(active > 0, cid, nc_loc)).astype(jnp.int32)
+    sorted_cid = jnp.take(cid, order)
+    sorted_active = jnp.take(active, order)
+    ranks = jnp.arange(Pn, dtype=jnp.int32)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_cid[1:] != sorted_cid[:-1]])
+    run_start = jax.lax.cummax(jnp.where(first, ranks, 0))
+    slot = ranks - run_start
+    ok = (slot < cap) & (sorted_active > 0)
+    flat = jnp.where(ok, slot * nc_loc + sorted_cid, cap * nc_loc)
+
+    def scatter(vals, fill):
+        out = jnp.full((cap * nc_loc + 1,), fill, pred.dtype)
+        return out.at[flat].set(vals, mode="drop",
+                                unique_indices=True)[:-1].reshape(cap, nc_loc)
+
+    cell_pos = jnp.stack([scatter(jnp.take(pred[:, a], order), _FAR)
+                          for a in range(dim)])
+    cell_vel = jnp.stack([scatter(jnp.take(vel[:, a], order), 0.0)
+                          for a in range(dim)])
+    cell_mask = scatter(jnp.ones((Pn,), pred.dtype), 0.0)
+    addr = jnp.zeros((Pn,), jnp.int32).at[order].set(flat,
+                                                     unique_indices=True)
+    overflow = (jnp.sum(active) - jnp.sum(cell_mask)).astype(jnp.int32)
+    return cell_pos, cell_vel, cell_mask, addr, overflow, S
+
+
+def _exchange_halo(planes: Array, S: int, axis: str) -> Array:
+    """Append neighbor boundary slabs: left neighbor's last slab in front,
+    right neighbor's first slab behind. planes: (F, C, gx_loc·S) →
+    (F, C, (gx_loc+2)·S). Edge devices receive zero-mask slabs."""
+    ndev = jax.lax.axis_size(axis)
+    me = jax.lax.axis_index(axis)
+    last = planes[..., -S:]
+    first = planes[..., :S]
+    # send my last slab rightward → arrives as left halo of my right neighbor
+    from_left = jax.lax.ppermute(
+        last, axis, [(d, (d + 1) % ndev) for d in range(ndev)])
+    # send my first slab leftward → arrives as right halo of my left neighbor
+    from_right = jax.lax.ppermute(
+        first, axis, [(d, (d - 1) % ndev) for d in range(ndev)])
+    # zero the wrapped edges (device 0 has no left neighbor, etc.)
+    from_left = jnp.where(me == 0, jnp.zeros_like(from_left), from_left)
+    from_right = jnp.where(me == ndev - 1, jnp.zeros_like(from_right),
+                           from_right)
+    return jnp.concatenate([from_left, planes, from_right], axis=-1)
+
+
+def _sph_local(pred, vel, active, params, coeffs, cfg, gx_loc, axis):
+    """Density + force for local particles with halo-correct neighbor data."""
+    me = jax.lax.axis_index(axis)
+    origin = _grid_origin_static(params, cfg)
+    cell_pos, cell_vel, cell_mask, addr, overflow, S = _local_buckets(
+        pred, vel, active, origin, params, cfg, gx_loc, me)
+
+    # extended planes: local + one halo slab each side
+    ext_dims = (gx_loc + 2,) + cfg.grid_dims[1:]
+    ext_cfg = dataclasses.replace(cfg, grid_dims=ext_dims)
+    nc_loc = gx_loc * S
+    dim = cfg.dim
+
+    pm = jnp.concatenate([cell_pos, cell_mask[None]], axis=0)
+    pm_ext = _exchange_halo(pm, S, axis)
+    grid_ext = grid_mod.BucketGrid(
+        cell_pos=pm_ext[:dim], cell_vel=None, cell_mask=pm_ext[dim],
+        addr=None, origin=origin, overflow=overflow)
+    den_e, nden_e, prs_e, nprs_e = grid_mod.bucket_density_pass(
+        grid_ext, params, coeffs, ext_cfg)
+
+    # only the middle (local) slabs' densities are correct — the halo slabs
+    # lack their own outer neighbors. Slice local, then exchange the
+    # *computed* density planes so the force pass sees exact halo densities.
+    den_c = den_e[:, S:S + nc_loc]
+    nden_c = nden_e[:, S:S + nc_loc]
+    prs_c = prs_e[:, S:S + nc_loc]
+    nprs_c = nprs_e[:, S:S + nc_loc]
+    dfields = jnp.stack([den_c, nden_c, prs_c, nprs_c], axis=0)
+    dfields_e = _exchange_halo(dfields, S, axis)
+    # guard the halo divide: zero-mask halo slots carry density 0 on edge
+    # devices (bucket_force_pass already guards, but keep them positive)
+    den_x, nden_x, prs_x, nprs_x = (dfields_e[0], dfields_e[1],
+                                    dfields_e[2], dfields_e[3])
+
+    # force pass over the extended window, with halo velocities + densities
+    v_ext = _exchange_halo(cell_vel, S, axis)
+    grid_f = grid_mod.BucketGrid(
+        cell_pos=pm_ext[:dim], cell_vel=v_ext, cell_mask=pm_ext[dim],
+        addr=None, origin=origin, overflow=overflow)
+    acc_e = grid_mod.bucket_force_pass(grid_f, den_x, nden_x, prs_x, nprs_x,
+                                       params, coeffs, ext_cfg)
+    acc_c = acc_e[:, :, S:S + nc_loc]
+
+    den = grid_mod._from_cells(den_c, addr, params.target_density)
+    nden = grid_mod._from_cells(nden_c, addr, DENSITY_PADDING)
+    prs = grid_mod._from_cells(prs_c, addr, 0.0)
+    nprs = grid_mod._from_cells(nprs_c, addr, 0.0)
+    acc = grid_mod._from_cells(acc_c, addr, 0.0)
+    return den, nden, prs, nprs, acc, overflow
+
+
+def _migrate(state_local, active, params, cfg, gx_loc, axis, mig_cap: int):
+    """Move particles whose predicted cell-x left the local slab to the
+    neighbor device (one slab per step max)."""
+    ndev = jax.lax.axis_size(axis)
+    me = jax.lax.axis_index(axis)
+    origin = _grid_origin_static(params, cfg)
+    cx = jnp.floor(
+        (state_local.predicted[:, 0] - origin[0]) / params.smoothing_radius
+    ).astype(jnp.int32)
+    cx = jnp.clip(cx, 0, cfg.grid_dims[0] - 1)
+    dev_target = jnp.clip(cx // gx_loc, 0, ndev - 1)
+    go_left = (dev_target < me) & (active > 0)
+    go_right = (dev_target > me) & (active > 0)
+
+    def pack(direction_mask):
+        """Gather up to mig_cap rows flagged by direction_mask."""
+        prio = jnp.where(direction_mask, 0, 1)
+        order = jnp.argsort(prio)[:mig_cap]
+        valid = jnp.take(direction_mask, order)
+        rows = {
+            "pos": jnp.take(state_local.pos, order, axis=0),
+            "vel": jnp.take(state_local.vel, order, axis=0),
+            "predicted": jnp.take(state_local.predicted, order, axis=0),
+            "valid": valid.astype(jnp.float32),
+        }
+        sent = jnp.sum(valid)
+        dropped = jnp.sum(direction_mask) - sent  # re-migrates next step
+        return rows, order, valid, dropped
+
+    out_l, ord_l, val_l, drop_l = pack(go_left)
+    out_r, ord_r, val_r, drop_r = pack(go_right)
+
+    in_from_right = jax.tree.map(
+        lambda x: jax.lax.ppermute(
+            x, axis, [(d, (d - 1) % ndev) for d in range(ndev)]), out_l)
+    in_from_left = jax.tree.map(
+        lambda x: jax.lax.ppermute(
+            x, axis, [(d, (d + 1) % ndev) for d in range(ndev)]), out_r)
+    # wrapped edges carry nothing
+    in_from_right["valid"] = jnp.where(me == ndev - 1, 0.0,
+                                       in_from_right["valid"])
+    in_from_left["valid"] = jnp.where(me == 0, 0.0, in_from_left["valid"])
+
+    # deactivate departed rows
+    active = active.at[ord_l].set(
+        jnp.where(val_l, 0.0, jnp.take(active, ord_l)))
+    active = active.at[ord_r].set(
+        jnp.where(val_r, 0.0, jnp.take(active, ord_r)))
+
+    # merge arrivals into free slots
+    def merge(state_local, active, inc):
+        n_in = inc["valid"].shape[0]
+        free_order = jnp.argsort(active)[:n_in]  # inactive slots first
+        can_take = jnp.take(active, free_order) == 0.0
+        take = (inc["valid"] > 0) & can_take
+        lost = jnp.sum(inc["valid"]) - jnp.sum(take)
+
+        def put(arr, rows, fill_mask):
+            cur = jnp.take(arr, free_order, axis=0)
+            sel = take.reshape((-1,) + (1,) * (arr.ndim - 1))
+            return arr.at[free_order].set(jnp.where(sel, rows, cur))
+
+        new = dataclasses.replace(
+            state_local,
+            pos=put(state_local.pos, inc["pos"], take),
+            vel=put(state_local.vel, inc["vel"], take),
+            predicted=put(state_local.predicted, inc["predicted"], take),
+        )
+        active = active.at[free_order].set(
+            jnp.where(take, 1.0, jnp.take(active, free_order)))
+        return new, active, lost
+
+    state_local, active, lost_r = merge(state_local, active, in_from_right)
+    state_local, active, lost_l = merge(state_local, active, in_from_left)
+    lost = (lost_r + lost_l + drop_l * 0).astype(jnp.float32)
+    return state_local, active, lost
+
+
+def make_domain_step(mesh: Mesh, cfg: SimConfig, mig_cap: int = 256):
+    """Build the shard_map'ped step: (state, active, params) → (state, active,
+    lost). State rows are sharded over the mesh; scalars replicated."""
+    axis = mesh.axis_names[0]
+    ndev = mesh.devices.size
+    gx = cfg.grid_dims[0]
+    if gx % ndev:
+        raise ValueError(f"grid_dims[0]={gx} not divisible by {ndev}")
+    gx_loc = gx // ndev
+
+    row = P(axis)
+    row2 = P(axis, None)
+
+    state_spec = FluidState(
+        pos=row2, vel=row2, predicted=row2, acc=row2, density=row,
+        near_density=row, pressure=row, near_pressure=row,
+        step_count=P(), time=P())
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(state_spec, row, P()),
+             out_specs=(state_spec, row, P()),
+             check_vma=False)
+    def domain_step(state, active, params):
+        coeffs = KernelCoeffs.from_radius(params.smoothing_radius, cfg.dim)
+        den, nden, prs, nprs, acc, overflow = _sph_local(
+            state.predicted, state.vel, active, params, coeffs, cfg, gx_loc,
+            axis)
+        t_new = state.time + params.dt
+        pos, vel, predicted = integrate_mod.integrate(
+            state.pos, state.vel, acc, params, t_new)
+        # keep inactive slots inert and far away
+        act = active[:, None]
+        pos = jnp.where(act > 0, pos, _FAR)
+        vel = jnp.where(act > 0, vel, 0.0)
+        predicted = jnp.where(act > 0, predicted, _FAR)
+        state = FluidState(
+            pos=pos, vel=vel, predicted=predicted, acc=acc,
+            density=den, near_density=nden, pressure=prs, near_pressure=nprs,
+            step_count=state.step_count + 1, time=t_new)
+        state, active, lost = _migrate(state, active, params, cfg, gx_loc,
+                                       axis, mig_cap)
+        lost_total = jax.lax.psum(lost, axis)
+        return state, active, lost_total
+
+    return jax.jit(domain_step)
+
+
+def gather_dense(state, active) -> tuple:
+    """Host-side: extract the active particles (order not meaningful across
+    devices). Returns (positions, velocities) as numpy arrays."""
+    import numpy as np
+    act = np.asarray(active) > 0
+    return (np.asarray(state.pos)[act], np.asarray(state.vel)[act])
