@@ -57,6 +57,13 @@ def _offsets(dim: int):
     return list(itertools.product((-1, 0, 1), repeat=dim))
 
 
+def _slot_loop(occ, body, init):
+    """Candidate-slot loop bounded by the *occupancy* of the window, not the
+    static capacity — empty bucket rows are skipped at runtime (the dominant
+    waste: settled SPH fluid fills ~1-8 of capacity-24 slots)."""
+    return jax.lax.fori_loop(0, occ, body, init)
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -123,9 +130,10 @@ def _write_out(out_ref, planes, scratch_out, out_sem, i, *, S_pad):
     cp.wait()
 
 
-def _density_kernel(params_ref, feats_ref, out_ref, scratch, sems,
+def _density_kernel(occ_ref, params_ref, feats_ref, out_ref, scratch, sems,
                     scratch_out, out_sem, *, dim, cap, gz, S_pad, CL):
     i = pl.program_id(0)
+    occ = occ_ref[i]
     _window_dma(feats_ref, scratch, sems, i, S_pad=S_pad, CL=CL)
 
     h = params_ref[0, _P_H]
@@ -158,7 +166,7 @@ def _density_kernel(params_ref, feats_ref, out_ref, scratch, sems,
             nden = nden + m * (v * v * v * pow3)
             return den, nden
 
-        den, nden = jax.lax.fori_loop(0, cap, n_body, (den, nden))
+        den, nden = _slot_loop(occ, n_body, (den, nden))
 
     den = den + DENSITY_PADDING
     nden = nden + DENSITY_PADDING
@@ -169,9 +177,10 @@ def _density_kernel(params_ref, feats_ref, out_ref, scratch, sems,
                S_pad=S_pad)
 
 
-def _force_kernel(params_ref, feats_ref, out_ref, scratch, sems,
+def _force_kernel(occ_ref, params_ref, feats_ref, out_ref, scratch, sems,
                   scratch_out, out_sem, *, dim, cap, gz, S_pad, CL):
     i = pl.program_id(0)
+    occ = occ_ref[i]
     _window_dma(feats_ref, scratch, sems, i, S_pad=S_pad, CL=CL)
 
     h = params_ref[0, _P_H]
@@ -252,7 +261,7 @@ def _force_kernel(params_ref, feats_ref, out_ref, scratch, sems,
                 vforce[a] = vforce[a] + (vel_n - qvel[a]) * w_visc
             return pforce, vforce
 
-        pforce, vforce = jax.lax.fori_loop(0, cap, n_body, (pforce, vforce))
+        pforce, vforce = _slot_loop(occ, n_body, (pforce, vforce))
 
     qden_safe = jnp.where(qden > 0.0, qden, 1.0)
     acc = [pforce[a] / qden_safe + viscosity * vforce[a] for a in range(dim)]
@@ -274,8 +283,20 @@ def _param_vector(params: SimParams, coeffs: KernelCoeffs) -> Array:
     return v
 
 
-def _run_pass(kernel_body, feats: Array, params_vec: Array, cfg: SimConfig,
-              n_out: int, interpret: bool):
+def window_occupancy(cell_mask: Array, gx: int) -> Array:
+    """Per-slab max cell occupancy over the 3-slab window — the runtime
+    bound for the candidate-slot loops. Pure reductions, no scatters."""
+    counts = jnp.sum(cell_mask, axis=0)                  # (nc,)
+    slab_max = jnp.max(counts.reshape(gx, -1), axis=1)   # (gx,)
+    padded = jnp.concatenate(
+        [jnp.zeros((1,), slab_max.dtype), slab_max,
+         jnp.zeros((1,), slab_max.dtype)])
+    win = jnp.maximum(jnp.maximum(padded[:-2], padded[1:-1]), padded[2:])
+    return jnp.ceil(win).astype(jnp.int32)
+
+
+def _run_pass(kernel_body, feats: Array, occ_win: Array, params_vec: Array,
+              cfg: SimConfig, n_out: int, interpret: bool):
     gx, gy, gz, S, S_pad, CL, PAD = _geometry(cfg)
     dim, cap = cfg.dim, cfg.cell_capacity
     F = feats.shape[0]
@@ -284,24 +305,29 @@ def _run_pass(kernel_body, feats: Array, params_vec: Array, cfg: SimConfig,
     body = functools.partial(kernel_body, dim=dim, cap=cap, gz=gz,
                              S_pad=S_pad, CL=CL)
 
-    out = pl.pallas_call(
-        body,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(gx,),
         in_specs=[
-            pl.BlockSpec((1, 16), lambda i: (0, 0),
+            pl.BlockSpec((1, 16), lambda i, *_: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
-        out_shape=jax.ShapeDtypeStruct((n_out, cap, gx * S_pad), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((F, cap, 3 * CL), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
             pltpu.VMEM((n_out, cap, S_pad), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
+    )
+
+    out = pl.pallas_call(
+        body,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_out, cap, gx * S_pad), jnp.float32),
         interpret=interpret,
-    )(params_vec, feats_pad)
+    )(occ_win, params_vec, feats_pad)
     return out
 
 
@@ -329,11 +355,13 @@ def bucket_sph(predicted: Array, vel: Array, params: SimParams,
     nc = gx * S
 
     params_vec = _param_vector(params, coeffs)
+    occ_win = window_occupancy(grid.cell_mask, gx)
 
     # density pass: planes [pos | mask]
     feats_d = jnp.concatenate(
         [grid.cell_pos, grid.cell_mask[None]], axis=0)
-    dens = _run_pass(_density_kernel, feats_d, params_vec, cfg, 4, interpret)
+    dens = _run_pass(_density_kernel, feats_d, occ_win, params_vec, cfg, 4,
+                     interpret)
     den_c, nden_c, prs_c, nprs_c = dens[0], dens[1], dens[2], dens[3]
 
     # force pass: planes [pos | mask | vel | den | nden | prs | nprs] — the
@@ -346,7 +374,8 @@ def bucket_sph(predicted: Array, vel: Array, params: SimParams,
         [grid.cell_pos, grid.cell_mask[None], grid.cell_vel,
          unpad(den_c)[None], unpad(nden_c)[None], unpad(prs_c)[None],
          unpad(nprs_c)[None]], axis=0)
-    acc_c = _run_pass(_force_kernel, feats_f, params_vec, cfg, dim, interpret)
+    acc_c = _run_pass(_force_kernel, feats_f, occ_win, params_vec, cfg, dim,
+                      interpret)
 
     addr_p = _padded_addr(grid.addr, cfg.cell_capacity, nc, S, S_pad, gx)
 
@@ -360,7 +389,9 @@ def bucket_sph(predicted: Array, vel: Array, params: SimParams,
 
     den = from_padded(den_c, params.target_density)
     nden = from_padded(nden_c, DENSITY_PADDING)
-    prs = from_padded(prs_c, 0.0)
-    nprs = from_padded(nprs_c, 0.0)
+    # pressures are pure EOS of the densities — recompute per particle
+    # instead of two more bucket-plane gathers
+    prs = params.pressure_scalar * (den - params.target_density)
+    nprs = params.near_pressure_scalar * nden
     acc = from_padded(acc_c, 0.0)
     return den, nden, prs, nprs, acc, grid.overflow
