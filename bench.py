@@ -20,10 +20,12 @@ def main():
 
     scene = os.environ.get("WST_BENCH_SCENE", "moving-container-256k")
     steps = int(os.environ.get("WST_BENCH_STEPS", "10"))
+    mode = os.environ.get("WST_BENCH_MODE", "pallas")
 
-    sim = Simulation.from_scene(scene)
-    # warmup: compile + settle the pipeline
-    sim.state = rollout(sim.state, sim.params, sim.cfg, 1)
+    sim = Simulation.from_scene(scene, neighbor_mode=mode)
+    # warmup with the SAME static step count — a different scan length is a
+    # different program and the measurement would include its compile
+    sim.state = rollout(sim.state, sim.params, sim.cfg, steps)
     np.asarray(sim.state.pos)  # hard sync
 
     t0 = time.perf_counter()

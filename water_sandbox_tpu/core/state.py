@@ -46,6 +46,8 @@ class FluidState:
     near_pressure: Array  # (n,)
     step_count: Array    # () int32
     time: Array          # () float32
+    overflow: Array      # () int32 — particles dropped from cell buckets by
+    #                      the capacity limit last step (0 = exact physics)
 
     @property
     def n(self) -> int:
@@ -81,4 +83,5 @@ def init_state(positions: Array, velocities: Array | None = None) -> FluidState:
         near_pressure=jnp.zeros((n,), dtype),
         step_count=jnp.zeros((), jnp.int32),
         time=jnp.zeros((), dtype),
+        overflow=jnp.zeros((), jnp.int32),
     )

@@ -322,10 +322,15 @@ def _run_pass(kernel_body, feats: Array, occ_win: Array, params_vec: Array,
         ],
     )
 
+    window_bytes = (F * cap * 3 * CL + n_out * cap * S_pad) * 4
     out = pl.pallas_call(
         body,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_out, cap, gx * S_pad), jnp.float32),
+        # large grids (256k+ scenes) need headroom above the default 16 MB
+        # scoped budget for the window + live pair temporaries
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(2 * window_bytes + 8 * 2**20, 128 * 2**20)),
         interpret=interpret,
     )(occ_win, params_vec, feats_pad)
     return out

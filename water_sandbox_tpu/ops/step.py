@@ -45,15 +45,16 @@ def step(state: FluidState, params: SimParams, cfg: SimConfig,
             predicted, params, coeffs)
         acc = dense.force_pass(predicted, state.vel, density, near_density,
                                pressure, near_pressure, params, coeffs)
+        overflow = jnp.zeros((), jnp.int32)
     elif cfg.neighbor_mode == "pallas" and _pallas_sph is not None:
-        density, near_density, pressure, near_pressure, acc, _ = (
+        density, near_density, pressure, near_pressure, acc, overflow = (
             _pallas_sph.bucket_sph(predicted, state.vel, params, coeffs, cfg))
     elif cfg.neighbor_mode in ("bucket_grid", "pallas"):
-        density, near_density, pressure, near_pressure, acc, _ = (
+        density, near_density, pressure, near_pressure, acc, overflow = (
             grid_mod.bucket_sph(predicted, state.vel, params, coeffs, cfg,
                                 constrain=constrain))
     elif cfg.neighbor_mode == "hash_grid":
-        density, near_density, pressure, near_pressure, acc, _ = (
+        density, near_density, pressure, near_pressure, acc, overflow = (
             grid_mod.hash_sph(predicted, state.vel, params, coeffs, cfg))
     else:
         raise ValueError(f"unknown neighbor_mode {cfg.neighbor_mode!r}")
@@ -73,6 +74,7 @@ def step(state: FluidState, params: SimParams, cfg: SimConfig,
         near_pressure=near_pressure,
         step_count=state.step_count + 1,
         time=t_new,
+        overflow=overflow,
     )
 
 

@@ -100,6 +100,7 @@ def shard_state(state: FluidState, mesh: Mesh, cfg: SimConfig,
         near_pressure=pack(state.near_pressure, 0.0),
         step_count=state.step_count,
         time=state.time,
+        overflow=state.overflow,
     )
     axis = mesh.axis_names[0]
 
@@ -329,7 +330,7 @@ def make_domain_step(mesh: Mesh, cfg: SimConfig, mig_cap: int = 256):
     state_spec = FluidState(
         pos=row2, vel=row2, predicted=row2, acc=row2, density=row,
         near_density=row, pressure=row, near_pressure=row,
-        step_count=P(), time=P())
+        step_count=P(), time=P(), overflow=P())
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(state_spec, row, P()),
@@ -351,7 +352,8 @@ def make_domain_step(mesh: Mesh, cfg: SimConfig, mig_cap: int = 256):
         state = FluidState(
             pos=pos, vel=vel, predicted=predicted, acc=acc,
             density=den, near_density=nden, pressure=prs, near_pressure=nprs,
-            step_count=state.step_count + 1, time=t_new)
+            step_count=state.step_count + 1, time=t_new,
+            overflow=jax.lax.psum(overflow, axis))
         state, active, lost = _migrate(state, active, params, cfg, gx_loc,
                                        axis, mig_cap)
         lost_total = jax.lax.psum(lost, axis)

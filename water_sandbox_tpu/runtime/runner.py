@@ -72,14 +72,22 @@ class Simulation:
 
     # -- stepping ----------------------------------------------------------
 
+    # rollout scan lengths are static — decompose arbitrary step counts into
+    # a few fixed sizes so at most len(_CHUNKS) programs ever compile
+    _CHUNKS = (256, 64, 8, 1)
+
     def run(self, num_steps: int = 1, block: bool = True) -> "Simulation":
-        """Advance num_steps (one fused device rollout). Respects PAUSED."""
+        """Advance num_steps (fused device rollouts). Respects PAUSED."""
         if self.phase is SimPhase.PAUSED:
             return self
         self.phase = SimPhase.RUNNING
         t0 = _time.perf_counter()
-        self.state = step_mod.rollout(self.state, self.params, self.cfg,
-                                      num_steps)
+        remaining = num_steps
+        for size in self._CHUNKS:
+            while remaining >= size:
+                self.state = step_mod.rollout(self.state, self.params,
+                                              self.cfg, size)
+                remaining -= size
         if block:
             # NOTE: block_until_ready does not reliably block on the axon TPU
             # tunnel; a scalar device_get forces the queue to drain.
