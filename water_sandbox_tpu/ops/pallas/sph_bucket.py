@@ -120,14 +120,10 @@ def _cand_start(off, *, CL, gz):
     return (ox + 1) * CL + _M + oy * gz + oz
 
 
-def _write_out(out_ref, planes, scratch_out, out_sem, i, *, S_pad):
-    """Stage result planes in VMEM and DMA to the slab-aligned HBM output."""
-    for k, p in enumerate(planes):
-        scratch_out[k] = p
-    cp = pltpu.make_async_copy(
-        scratch_out, out_ref.at[:, :, pl.ds(i * S_pad, S_pad)], out_sem)
-    cp.start()
-    cp.wait()
+# Query rows are processed in sublane-tile-sized chunks; chunks whose rows
+# lie entirely above the window occupancy are skipped (settled fluid fills
+# 1-8 of 16 slots, so this typically halves the pair math).
+_QROWS = 8
 
 
 def _density_kernel(occ_ref, params_ref, feats_ref, out_ref, scratch, sems,
@@ -139,42 +135,61 @@ def _density_kernel(occ_ref, params_ref, feats_ref, out_ref, scratch, sems,
     h = params_ref[0, _P_H]
     pow2 = params_ref[0, _P_POW2]
     pow3 = params_ref[0, _P_POW3]
+    target = params_ref[0, _P_TARGET_DENSITY]
+    p_scl = params_ref[0, _P_PRESSURE]
+    np_scl = params_ref[0, _P_NEAR_PRESSURE]
 
     qs = CL + _M  # window-local start of this slab's real cells
     T = S_pad
-    qpos = [scratch[a, :, pl.ds(qs, T)] for a in range(dim)]   # (C, T)
+    Q = _QROWS
 
-    den = jnp.zeros((cap, T), jnp.float32)
-    nden = jnp.zeros((cap, T), jnp.float32)
+    for q0 in range(0, cap, Q):
+        @pl.when(occ > q0)
+        def _compute(q0=q0):
+            qpos = [scratch[a, q0:q0 + Q, pl.ds(qs, T)] for a in range(dim)]
+            den = jnp.zeros((Q, T), jnp.float32)
+            nden = jnp.zeros((Q, T), jnp.float32)
+            for off in _offsets(dim):
+                cs = _cand_start(off, CL=CL, gz=gz)
 
-    for off in _offsets(dim):
-        cs = _cand_start(off, CL=CL, gz=gz)
+                def n_body(n, carry):
+                    den, nden = carry
+                    dist2 = jnp.zeros((Q, T), jnp.float32)
+                    for a in range(dim):
+                        d_a = scratch[a, n, pl.ds(cs, T)][None, :] - qpos[a]
+                        dist2 = dist2 + d_a * d_a
+                    dist = jnp.sqrt(dist2)
+                    mask_n = scratch[dim, n, pl.ds(cs, T)][None, :]
+                    # self-interaction included, like the reference walk
+                    # (simulation.wgsl:162-183)
+                    m = jnp.where(dist <= h, mask_n, 0.0)
+                    v = h - jnp.minimum(dist, h)
+                    den = den + m * (v * v * pow2)
+                    nden = nden + m * (v * v * v * pow3)
+                    return den, nden
 
-        def n_body(n, carry):
-            den, nden = carry
-            dist2 = jnp.zeros((cap, T), jnp.float32)
-            for a in range(dim):
-                d_a = scratch[a, n, pl.ds(cs, T)][None, :] - qpos[a]
-                dist2 = dist2 + d_a * d_a
-            dist = jnp.sqrt(dist2)
-            mask_n = scratch[dim, n, pl.ds(cs, T)][None, :]
-            # self-interaction included, like the reference walk
-            # (simulation.wgsl:162-183)
-            m = jnp.where(dist <= h, mask_n, 0.0)
-            v = h - jnp.minimum(dist, h)
-            den = den + m * (v * v * pow2)
-            nden = nden + m * (v * v * v * pow3)
-            return den, nden
+                den, nden = _slot_loop(occ, n_body, (den, nden))
 
-        den, nden = _slot_loop(occ, n_body, (den, nden))
+            den = den + DENSITY_PADDING
+            nden = nden + DENSITY_PADDING
+            scratch_out[0, q0:q0 + Q, :] = den
+            scratch_out[1, q0:q0 + Q, :] = nden
+            scratch_out[2, q0:q0 + Q, :] = p_scl * (den - target)
+            scratch_out[3, q0:q0 + Q, :] = np_scl * nden
 
-    den = den + DENSITY_PADDING
-    nden = nden + DENSITY_PADDING
-    prs = params_ref[0, _P_PRESSURE] * (den - params_ref[0, _P_TARGET_DENSITY])
-    nprs = params_ref[0, _P_NEAR_PRESSURE] * nden
+        @pl.when(occ <= q0)
+        def _default(q0=q0):
+            # these bucket rows are empty everywhere in the window
+            pad = jnp.full((Q, T), DENSITY_PADDING, jnp.float32)
+            scratch_out[0, q0:q0 + Q, :] = pad
+            scratch_out[1, q0:q0 + Q, :] = pad
+            scratch_out[2, q0:q0 + Q, :] = p_scl * (pad - target)
+            scratch_out[3, q0:q0 + Q, :] = np_scl * pad
 
-    _write_out(out_ref, [den, nden, prs, nprs], scratch_out, out_sem, i,
-               S_pad=S_pad)
+    cp = pltpu.make_async_copy(
+        scratch_out, out_ref.at[:, :, pl.ds(i * S_pad, S_pad)], out_sem)
+    cp.start()
+    cp.wait()
 
 
 def _force_kernel(occ_ref, params_ref, feats_ref, out_ref, scratch, sems,
@@ -201,71 +216,90 @@ def _force_kernel(occ_ref, params_ref, feats_ref, out_ref, scratch, sems,
 
     qs = CL + _M
     T = S_pad
-    qpos = [scratch[a, :, pl.ds(qs, T)] for a in range(dim)]
-    qvel = [scratch[VEL + a, :, pl.ds(qs, T)] for a in range(dim)]
-    qden = scratch[DEN, :, pl.ds(qs, T)]
-    qprs = scratch[PRS, :, pl.ds(qs, T)]
-    qnprs = scratch[NPRS, :, pl.ds(qs, T)]
+    Q = _QROWS
 
-    pforce = [jnp.zeros((cap, T), jnp.float32) for _ in range(dim)]
-    vforce = [jnp.zeros((cap, T), jnp.float32) for _ in range(dim)]
+    for q0 in range(0, cap, Q):
+        @pl.when(occ > q0)
+        def _compute(q0=q0):
+            qpos = [scratch[a, q0:q0 + Q, pl.ds(qs, T)] for a in range(dim)]
+            qvel = [scratch[VEL + a, q0:q0 + Q, pl.ds(qs, T)]
+                    for a in range(dim)]
+            qden = scratch[DEN, q0:q0 + Q, pl.ds(qs, T)]
+            qprs = scratch[PRS, q0:q0 + Q, pl.ds(qs, T)]
+            qnprs = scratch[NPRS, q0:q0 + Q, pl.ds(qs, T)]
 
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)
+            pforce = [jnp.zeros((Q, T), jnp.float32) for _ in range(dim)]
+            vforce = [jnp.zeros((Q, T), jnp.float32) for _ in range(dim)]
+            row_ids = q0 + jax.lax.broadcasted_iota(jnp.int32, (Q, 1), 0)
 
-    for off in _offsets(dim):
-        cs = _cand_start(off, CL=CL, gz=gz)
-        is_center = all(o == 0 for o in off)
+            for off in _offsets(dim):
+                cs = _cand_start(off, CL=CL, gz=gz)
+                is_center = all(o == 0 for o in off)
 
-        def n_body(n, carry):
-            pforce, vforce = carry
-            disp = []
-            dist2 = jnp.zeros((cap, T), jnp.float32)
+                def n_body(n, carry):
+                    pforce, vforce = carry
+                    disp = []
+                    dist2 = jnp.zeros((Q, T), jnp.float32)
+                    for a in range(dim):
+                        d_a = scratch[a, n, pl.ds(cs, T)][None, :] - qpos[a]
+                        disp.append(d_a)
+                        dist2 = dist2 + d_a * d_a
+                    dist = jnp.sqrt(dist2)
+                    mask_n = scratch[MASK, n, pl.ds(cs, T)][None, :]
+                    m = jnp.where(dist <= h, mask_n, 0.0)
+                    if is_center:
+                        # skip the self pair (simulation.wgsl:231-233)
+                        m = m * (row_ids != n).astype(jnp.float32)
+                    dc = jnp.minimum(dist, h)
+
+                    inv = jnp.where(
+                        dist > 0.0,
+                        1.0 / jnp.where(dist > 0.0, dist, 1.0), 0.0)
+                    zero_dist = (dist == 0.0).astype(jnp.float32)
+
+                    den_n = scratch[DEN, n, pl.ds(cs, T)][None, :]
+                    nden_n = scratch[NDEN, n, pl.ds(cs, T)][None, :]
+                    den_n = jnp.where(den_n > 0.0, den_n, 1.0)
+                    nden_n = jnp.where(nden_n > 0.0, nden_n, 1.0)
+                    prs_n = scratch[PRS, n, pl.ds(cs, T)][None, :]
+                    nprs_n = scratch[NPRS, n, pl.ds(cs, T)][None, :]
+
+                    shared_p = (qprs + prs_n) * 0.5
+                    shared_np = (qnprs + nprs_n) * 0.5
+                    v = dc - h
+                    scale = m * (shared_p * (v * pow2_der) / den_n
+                                 + shared_np * (v * v * pow3_der) / nden_n)
+
+                    hv = h * h - dc * dc
+                    w_visc = m * (hv * hv * hv * spikey)
+
+                    for a in range(dim):
+                        dir_a = disp[a] * inv
+                        if a == 1:
+                            # +y fallback at d == 0 (wgsl:243-248)
+                            dir_a = dir_a + zero_dist
+                        pforce[a] = pforce[a] + dir_a * scale
+                        vel_n = scratch[VEL + a, n, pl.ds(cs, T)][None, :]
+                        vforce[a] = vforce[a] + (vel_n - qvel[a]) * w_visc
+                    return pforce, vforce
+
+                pforce, vforce = _slot_loop(occ, n_body, (pforce, vforce))
+
+            qden_safe = jnp.where(qden > 0.0, qden, 1.0)
             for a in range(dim):
-                d_a = scratch[a, n, pl.ds(cs, T)][None, :] - qpos[a]
-                disp.append(d_a)
-                dist2 = dist2 + d_a * d_a
-            dist = jnp.sqrt(dist2)
-            mask_n = scratch[MASK, n, pl.ds(cs, T)][None, :]
-            m = jnp.where(dist <= h, mask_n, 0.0)
-            if is_center:
-                # skip the self pair (simulation.wgsl:231-233)
-                m = m * (row_ids != n).astype(jnp.float32)
-            dc = jnp.minimum(dist, h)
+                scratch_out[a, q0:q0 + Q, :] = (
+                    pforce[a] / qden_safe + viscosity * vforce[a])
 
-            inv = jnp.where(dist > 0.0,
-                            1.0 / jnp.where(dist > 0.0, dist, 1.0), 0.0)
-            zero_dist = (dist == 0.0).astype(jnp.float32)
-
-            den_n = scratch[DEN, n, pl.ds(cs, T)][None, :]
-            nden_n = scratch[NDEN, n, pl.ds(cs, T)][None, :]
-            den_n = jnp.where(den_n > 0.0, den_n, 1.0)
-            nden_n = jnp.where(nden_n > 0.0, nden_n, 1.0)
-            prs_n = scratch[PRS, n, pl.ds(cs, T)][None, :]
-            nprs_n = scratch[NPRS, n, pl.ds(cs, T)][None, :]
-
-            shared_p = (qprs + prs_n) * 0.5
-            shared_np = (qnprs + nprs_n) * 0.5
-            v = dc - h
-            scale = m * (shared_p * (v * pow2_der) / den_n
-                         + shared_np * (v * v * pow3_der) / nden_n)
-
-            hv = h * h - dc * dc
-            w_visc = m * (hv * hv * hv * spikey)
-
+        @pl.when(occ <= q0)
+        def _default(q0=q0):
+            zero = jnp.zeros((Q, T), jnp.float32)
             for a in range(dim):
-                dir_a = disp[a] * inv
-                if a == 1:
-                    dir_a = dir_a + zero_dist  # +y fallback (wgsl:243-248)
-                pforce[a] = pforce[a] + dir_a * scale
-                vel_n = scratch[VEL + a, n, pl.ds(cs, T)][None, :]
-                vforce[a] = vforce[a] + (vel_n - qvel[a]) * w_visc
-            return pforce, vforce
+                scratch_out[a, q0:q0 + Q, :] = zero
 
-        pforce, vforce = _slot_loop(occ, n_body, (pforce, vforce))
-
-    qden_safe = jnp.where(qden > 0.0, qden, 1.0)
-    acc = [pforce[a] / qden_safe + viscosity * vforce[a] for a in range(dim)]
-    _write_out(out_ref, acc, scratch_out, out_sem, i, S_pad=S_pad)
+    cp = pltpu.make_async_copy(
+        scratch_out, out_ref.at[:, :, pl.ds(i * S_pad, S_pad)], out_sem)
+    cp.start()
+    cp.wait()
 
 
 def _param_vector(params: SimParams, coeffs: KernelCoeffs) -> Array:
@@ -299,6 +333,10 @@ def _run_pass(kernel_body, feats: Array, occ_win: Array, params_vec: Array,
               cfg: SimConfig, n_out: int, interpret: bool):
     gx, gy, gz, S, S_pad, CL, PAD = _geometry(cfg)
     dim, cap = cfg.dim, cfg.cell_capacity
+    if cap % _QROWS:
+        raise ValueError(
+            f"cell_capacity must be a multiple of {_QROWS} (sublane tile); "
+            f"got {cap}")
     F = feats.shape[0]
 
     feats_pad = _to_slab_layout(feats, gx, S, S_pad, PAD)
