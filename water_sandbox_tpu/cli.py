@@ -91,6 +91,19 @@ def _cmd_bench(args):
     }))
 
 
+def _cmd_render(args):
+    from .io.export import load_trajectory
+    from .models import scenes
+    from .viz import render
+
+    _, _, meta = load_trajectory(args.trajectory)
+    scene = meta.get("scene", args.scene)
+    _, params, _ = scenes.build(scene)
+    out = render.render_trajectory_gif(args.trajectory, args.out, params,
+                                       fps=args.fps)
+    print(f"gif -> {out}")
+
+
 def main(argv=None):
     import os
     if os.environ.get("WST_FORCE_CPU"):
@@ -122,9 +135,16 @@ def main(argv=None):
     ben.add_argument("--steps", type=int, default=20)
     ben.add_argument("--neighbor-mode", default=None)
 
+    ren = sub.add_parser("render", help="render an exported trajectory to GIF")
+    ren.add_argument("--trajectory", required=True)
+    ren.add_argument("--out", default="out.gif")
+    ren.add_argument("--scene", default="dam-break-2d-4k",
+                     help="fallback scene for container bounds")
+    ren.add_argument("--fps", type=int, default=20)
+
     args = p.parse_args(argv)
     {"scenes": _cmd_scenes, "run": _cmd_run, "resume": _cmd_resume,
-     "bench": _cmd_bench}[args.cmd](args)
+     "bench": _cmd_bench, "render": _cmd_render}[args.cmd](args)
 
 
 if __name__ == "__main__":
