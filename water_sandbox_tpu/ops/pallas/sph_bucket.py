@@ -37,6 +37,7 @@ from .. import grid as grid_mod
 
 Array = jax.Array
 
+_FAR = grid_mod._FAR
 _M = 128  # window margin cells (covers oy/oz reach-back; keeps alignment)
 
 # scalar-parameter slots (SMEM (1, 16) f32)
@@ -83,13 +84,61 @@ def _geometry(cfg: SimConfig):
     return gx, gy, gz, S, S_pad, CL, PAD
 
 
-def _to_slab_layout(feats: Array, gx: int, S: int, S_pad: int, PAD: int):
-    """(F, C, gx·S) → (F, C, PAD + gx·S_pad + PAD), zeros in dead cells."""
-    F, C, _ = feats.shape
-    slabs = feats.reshape(F, C, gx, S)
-    slabs = jnp.pad(slabs, ((0, 0), (0, 0), (0, 0), (0, S_pad - S)))
-    flat = slabs.reshape(F, C, gx * S_pad)
-    return jnp.pad(flat, ((0, 0), (0, 0), (PAD, PAD)))
+def _build_slab_buckets(predicted: Array, vel: Array, params, cfg: SimConfig):
+    """Bucket build scattering DIRECTLY into the slab-padded kernel layout
+    (column = x·S_pad + y·gz + z, plus PAD ends) — no relayout copies
+    between the build and the kernels. Same algorithm as
+    ops.grid.build_bucket_grid (argsort → cummax slots → unique scatter).
+
+    Returns (pos planes (dim, cap, L), vel planes, mask (cap, L),
+    addr_out (n,) into the kernels' un-end-padded output planes,
+    overflow ())."""
+    from .. import hashing
+
+    n, dim = predicted.shape
+    h = params.smoothing_radius
+    dims = cfg.grid_dims
+    cap = cfg.cell_capacity
+    gx, gy, gz, S, S_pad, CL, PAD = _geometry(cfg)
+    L = PAD + gx * S_pad + PAD
+    dtype = predicted.dtype
+
+    origin = hashing.grid_origin(predicted, h)
+    cell = jnp.floor((predicted - origin) / h).astype(jnp.int32)
+    cell = jnp.clip(cell, 0, jnp.asarray(dims, jnp.int32) - 1)
+    r = cell[:, 1]
+    if dim == 3:
+        r = r * gz + cell[:, 2]
+    col = cell[:, 0] * S_pad + r                       # slab-strided column
+
+    order = jnp.argsort(col).astype(jnp.int32)
+    sorted_col = jnp.take(col, order)
+    ranks = jnp.arange(n, dtype=jnp.int32)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_col[1:] != sorted_col[:-1]])
+    run_start = jax.lax.cummax(jnp.where(first, ranks, 0))
+    slot = ranks - run_start
+    ok = slot < cap
+    flat = jnp.where(ok, slot * L + PAD + sorted_col, cap * L)
+
+    def scatter(vals, fill):
+        out = jnp.full((cap * L + 1,), fill, dtype)
+        return out.at[flat].set(vals, mode="drop",
+                                unique_indices=True)[:-1].reshape(cap, L)
+
+    pos_p = jnp.stack([scatter(jnp.take(predicted[:, a], order), _FAR)
+                       for a in range(dim)])
+    vel_p = jnp.stack([scatter(jnp.take(vel[:, a], order), 0.0)
+                       for a in range(dim)])
+    mask_p = scatter(jnp.ones((n,), dtype), 0.0)
+
+    # address into the kernels' output planes (no PAD ends there)
+    out_flat = jnp.where(ok, slot * (gx * S_pad) + sorted_col,
+                         cap * gx * S_pad)
+    addr_out = jnp.zeros((n,), jnp.int32).at[order].set(out_flat,
+                                                        unique_indices=True)
+    overflow = (n - jnp.sum(ok)).astype(jnp.int32)
+    return pos_p, vel_p, mask_p, addr_out, overflow
 
 
 def _window_dma(feats_ref, scratch, sems, i, *, S_pad, CL):
@@ -317,11 +366,13 @@ def _param_vector(params: SimParams, coeffs: KernelCoeffs) -> Array:
     return v
 
 
-def window_occupancy(cell_mask: Array, gx: int) -> Array:
+def window_occupancy(mask_plane: Array, gx: int, S_pad: int,
+                     PAD: int) -> Array:
     """Per-slab max cell occupancy over the 3-slab window — the runtime
-    bound for the candidate-slot loops. Pure reductions, no scatters."""
-    counts = jnp.sum(cell_mask, axis=0)                  # (nc,)
-    slab_max = jnp.max(counts.reshape(gx, -1), axis=1)   # (gx,)
+    bound for the candidate-slot loops. Pure reductions, no scatters.
+    mask_plane: (cap, L) slab-padded layout."""
+    counts = jnp.sum(mask_plane[:, PAD:PAD + gx * S_pad], axis=0)
+    slab_max = jnp.max(counts.reshape(gx, S_pad), axis=1)   # (gx,)
     padded = jnp.concatenate(
         [jnp.zeros((1,), slab_max.dtype), slab_max,
          jnp.zeros((1,), slab_max.dtype)])
@@ -339,7 +390,7 @@ def _run_pass(kernel_body, feats: Array, occ_win: Array, params_vec: Array,
             f"got {cap}")
     F = feats.shape[0]
 
-    feats_pad = _to_slab_layout(feats, gx, S, S_pad, PAD)
+    # feats arrive already in the slab-padded layout (F, cap, L)
     body = functools.partial(kernel_body, dim=dim, cap=cap, gz=gz,
                              S_pad=S_pad, CL=CL)
 
@@ -370,71 +421,50 @@ def _run_pass(kernel_body, feats: Array, occ_win: Array, params_vec: Array,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(2 * window_bytes + 8 * 2**20, 128 * 2**20)),
         interpret=interpret,
-    )(occ_win, params_vec, feats_pad)
+    )(occ_win, params_vec, feats)
     return out
-
-
-def _padded_addr(addr: Array, cap: int, nc: int, S: int, S_pad: int,
-                 gx: int) -> Array:
-    """Map bucket addresses (slot·nc + cid) into the slab-padded output
-    layout (slot·gx·S_pad + x·S_pad + r); overflow sentinel maps to the
-    one-past-end fill row."""
-    sentinel = addr >= cap * nc
-    slot = addr // nc
-    cid = addr % nc
-    x = cid // S
-    r = cid % S
-    out = slot * (gx * S_pad) + x * S_pad + r
-    return jnp.where(sentinel, cap * gx * S_pad, out)
 
 
 def bucket_sph(predicted: Array, vel: Array, params: SimParams,
                coeffs: KernelCoeffs, cfg: SimConfig, interpret: bool = False):
     """Pallas-accelerated bucket SPH: same contract as ops.grid.bucket_sph —
     per-particle (den, nden, prs, nprs, acc, overflow)."""
-    grid = grid_mod.build_bucket_grid(predicted, vel, params, cfg)
     dim = cfg.dim
     gx, gy, gz, S, S_pad, CL, PAD = _geometry(cfg)
-    nc = gx * S
 
+    pos_p, vel_p, mask_p, addr_out, overflow = _build_slab_buckets(
+        predicted, vel, params, cfg)
     params_vec = _param_vector(params, coeffs)
-    occ_win = window_occupancy(grid.cell_mask, gx)
+    occ_win = window_occupancy(mask_p, gx, S_pad, PAD)
 
     # density pass: planes [pos | mask]
-    feats_d = jnp.concatenate(
-        [grid.cell_pos, grid.cell_mask[None]], axis=0)
+    feats_d = jnp.concatenate([pos_p, mask_p[None]], axis=0)
     dens = _run_pass(_density_kernel, feats_d, occ_win, params_vec, cfg, 4,
                      interpret)
-    den_c, nden_c, prs_c, nprs_c = dens[0], dens[1], dens[2], dens[3]
+    den_c, nden_c = dens[0], dens[1]
 
-    # force pass: planes [pos | mask | vel | den | nden | prs | nprs] — the
-    # density planes come back from the padded layout
-    def unpad(plane):  # (C, gx·S_pad) → (C, nc)
-        return plane.reshape(plane.shape[0], gx, S_pad)[:, :, :S].reshape(
-            plane.shape[0], nc)
-
-    feats_f = jnp.concatenate(
-        [grid.cell_pos, grid.cell_mask[None], grid.cell_vel,
-         unpad(den_c)[None], unpad(nden_c)[None], unpad(prs_c)[None],
-         unpad(nprs_c)[None]], axis=0)
+    # force pass: planes [pos | mask | vel | den | nden | prs | nprs];
+    # density outputs lack the PAD ends — restore them with a zero pad (the
+    # end cells are empty, their values never pass the mask)
+    dens_padded = jnp.pad(dens, ((0, 0), (0, 0), (PAD, PAD)))
+    feats_f = jnp.concatenate([pos_p, mask_p[None], vel_p, dens_padded],
+                              axis=0)
     acc_c = _run_pass(_force_kernel, feats_f, occ_win, params_vec, cfg, dim,
                       interpret)
 
-    addr_p = _padded_addr(grid.addr, cfg.cell_capacity, nc, S, S_pad, gx)
-
-    def from_padded(cell_arr, fill):
-        if cell_arr.ndim == 2:
-            flat = cell_arr.reshape(-1)
+    def gather(plane, fill):
+        if plane.ndim == 2:
+            flat = plane.reshape(-1)
             flat = jnp.concatenate([flat, jnp.full((1,), fill, flat.dtype)])
-            return jnp.take(flat, addr_p)
-        return jnp.stack([from_padded(cell_arr[a], fill)
-                          for a in range(cell_arr.shape[0])], axis=-1)
+            return jnp.take(flat, addr_out)
+        return jnp.stack([gather(plane[a], fill)
+                          for a in range(plane.shape[0])], axis=-1)
 
-    den = from_padded(den_c, params.target_density)
-    nden = from_padded(nden_c, DENSITY_PADDING)
+    den = gather(den_c, params.target_density)
+    nden = gather(nden_c, DENSITY_PADDING)
     # pressures are pure EOS of the densities — recompute per particle
     # instead of two more bucket-plane gathers
     prs = params.pressure_scalar * (den - params.target_density)
     nprs = params.near_pressure_scalar * nden
-    acc = from_padded(acc_c, 0.0)
-    return den, nden, prs, nprs, acc, grid.overflow
+    acc = gather(acc_c, 0.0)
+    return den, nden, prs, nprs, acc, overflow
