@@ -78,7 +78,9 @@ def _geometry(cfg: SimConfig):
             f"pallas path needs grid z-dim < {_M}; got {gz} — use the "
             "bucket_grid XLA path or a coarser grid")
     S = gy * gz
-    S_pad = _round_up(S, _M)
+    # ≥2 lane tiles per slab: Mosaic's dynamic-sublane loads reject unaligned
+    # lane offsets when the slice is a single 128-lane tile (hits 2-D grids)
+    S_pad = max(_round_up(S, _M), 2 * _M)
     CL = S_pad + 2 * _M        # chunk stride in the VMEM window
     PAD = S_pad + _M           # front/back padding of the HBM layout
     return gx, gy, gz, S, S_pad, CL, PAD
