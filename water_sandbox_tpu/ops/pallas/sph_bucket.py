@@ -428,9 +428,15 @@ def _run_pass(kernel_body, feats: Array, occ_win: Array, params_vec: Array,
 
 
 def bucket_sph(predicted: Array, vel: Array, params: SimParams,
-               coeffs: KernelCoeffs, cfg: SimConfig, interpret: bool = False):
+               coeffs: KernelCoeffs, cfg: SimConfig,
+               interpret: bool | None = None):
     """Pallas-accelerated bucket SPH: same contract as ops.grid.bucket_sph —
-    per-particle (den, nden, prs, nprs, acc, overflow)."""
+    per-particle (den, nden, prs, nprs, acc, overflow).
+
+    interpret=None auto-selects: compiled on TPU, interpreter elsewhere (so
+    neighbor_mode='pallas' stays usable — if slow — on CPU)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     dim = cfg.dim
     gx, gy, gz, S, S_pad, CL, PAD = _geometry(cfg)
 
