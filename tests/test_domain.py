@@ -42,7 +42,8 @@ def assert_same_point_set(a, b, tol=1e-3):
     assert worst < tol, f"worst point mismatch {worst}"
 
 
-def test_domain_matches_single_device_with_migration():
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_domain_matches_single_device_with_migration(use_pallas):
     cfg, params, state = setup()
     mesh = mesh_mod.make_mesh(8)
 
@@ -53,7 +54,7 @@ def test_domain_matches_single_device_with_migration():
         s_single = step_mod.step(s_single, params, cfg)
 
     sharded, active = domain.shard_state(state, mesh, cfg, params, slack=8.0)
-    step_fn = domain.make_domain_step(mesh, cfg)
+    step_fn = domain.make_domain_step(mesh, cfg, use_pallas=use_pallas)
     lost_total = 0.0
     for _ in range(8):
         sharded, active, lost = step_fn(sharded, active, params)

@@ -143,6 +143,80 @@ def _build_slab_buckets(predicted: Array, vel: Array, params, cfg: SimConfig):
     return pos_p, vel_p, mask_p, addr_out, overflow
 
 
+def build_local_slab_buckets(pred: Array, vel: Array, active: Array,
+                             origin: Array, gx_loc: int, my_dev,
+                             params, cfg_loc: SimConfig):
+    """Per-device bucket build for the domain-decomposed step: like
+    _build_slab_buckets but over the device's local slab range of the global
+    grid (cells outside clamp to the boundary slab — stragglers between
+    migrations; the distance filter keeps their included pairs exact) and
+    with inactive slots dropped.
+
+    The slab-padded layout leaves PAD = S_pad + _M dead columns at each end;
+    the domain step writes the ppermuted neighbor boundary slabs into the
+    S_pad-aligned pad positions, and the kernels' halo windows then read
+    them with no layout changes (parallel/domain.py).
+    """
+    n, dim = pred.shape
+    h = params.smoothing_radius
+    dims = cfg_loc.grid_dims            # (gx_loc, gy[, gz]) — local
+    cap = cfg_loc.cell_capacity
+    gx, gy, gz, S, S_pad, CL, PAD = _geometry(cfg_loc)
+    L = PAD + gx_loc * S_pad + PAD
+    dtype = pred.dtype
+
+    cell = jnp.floor((pred - origin) / h).astype(jnp.int32)
+    # clamp y/z into the global grid, x into the local slab range
+    cell_x = jnp.clip(cell[:, 0] - my_dev * gx_loc, 0, gx_loc - 1)
+    r = jnp.clip(cell[:, 1], 0, gy - 1)
+    if dim == 3:
+        r = r * gz + jnp.clip(cell[:, 2], 0, gz - 1)
+    col = cell_x * S_pad + r
+
+    order = jnp.argsort(jnp.where(active > 0, col, gx_loc * S_pad)
+                        ).astype(jnp.int32)
+    sorted_col = jnp.take(col, order)
+    sorted_active = jnp.take(active, order)
+    ranks = jnp.arange(n, dtype=jnp.int32)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_col[1:] != sorted_col[:-1]])
+    run_start = jax.lax.cummax(jnp.where(first, ranks, 0))
+    slot = ranks - run_start
+    ok = (slot < cap) & (sorted_active > 0)
+    flat = jnp.where(ok, slot * L + PAD + sorted_col, cap * L)
+
+    def scatter(vals, fill):
+        out = jnp.full((cap * L + 1,), fill, dtype)
+        return out.at[flat].set(vals, mode="drop",
+                                unique_indices=True)[:-1].reshape(cap, L)
+
+    pos_p = jnp.stack([scatter(jnp.take(pred[:, a], order), _FAR)
+                       for a in range(dim)])
+    vel_p = jnp.stack([scatter(jnp.take(vel[:, a], order), 0.0)
+                       for a in range(dim)])
+    mask_p = scatter(jnp.ones((n,), dtype), 0.0)
+
+    out_flat = jnp.where(ok, slot * (gx_loc * S_pad) + sorted_col,
+                         cap * gx_loc * S_pad)
+    addr_out = jnp.zeros((n,), jnp.int32).at[order].set(out_flat,
+                                                        unique_indices=True)
+    overflow = (jnp.sum(active) - jnp.sum(mask_p)).astype(jnp.int32)
+    return pos_p, vel_p, mask_p, addr_out, overflow
+
+
+def halo_window_occupancy(mask_ext: Array, gx_loc: int, S_pad: int,
+                          PAD: int) -> Array:
+    """window_occupancy for the domain path: the mask plane already carries
+    the exchanged halo slabs in its pad positions, so slab maxima cover
+    slabs -1..gx_loc."""
+    counts = jnp.sum(mask_ext, axis=0)
+    span = counts[PAD - S_pad:PAD + (gx_loc + 1) * S_pad]
+    slab_max = jnp.max(span.reshape(gx_loc + 2, S_pad), axis=1)
+    win = jnp.maximum(jnp.maximum(slab_max[:-2], slab_max[1:-1]),
+                      slab_max[2:])
+    return jnp.ceil(win).astype(jnp.int32)
+
+
 def _window_dma(feats_ref, scratch, sems, i, *, S_pad, CL):
     """Start+wait the three halo-slab copies for slab i. In the padded HBM
     layout, chunk c's window starts at (i + c)·S_pad — always 128-aligned."""

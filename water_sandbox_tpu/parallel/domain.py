@@ -236,6 +236,77 @@ def _sph_local(pred, vel, active, params, coeffs, cfg, gx_loc, axis):
     return den, nden, prs, nprs, acc, overflow
 
 
+def _exchange_halo_slabs(planes: Array, gx_loc: int, S_pad: int, PAD: int,
+                         axis: str) -> Array:
+    """Slab-padded-layout halo exchange: ppermute the boundary S_pad-wide
+    slab columns into the neighbors' PAD regions, where the Pallas kernels'
+    windows read them natively."""
+    ndev = jax.lax.axis_size(axis)
+    me = jax.lax.axis_index(axis)
+    lo = PAD + (gx_loc - 1) * S_pad
+    last = planes[:, :, lo:lo + S_pad]
+    first = planes[:, :, PAD:PAD + S_pad]
+    from_left = jax.lax.ppermute(
+        last, axis, [(d, (d + 1) % ndev) for d in range(ndev)])
+    from_right = jax.lax.ppermute(
+        first, axis, [(d, (d - 1) % ndev) for d in range(ndev)])
+    from_left = jnp.where(me == 0, jnp.zeros_like(from_left), from_left)
+    from_right = jnp.where(me == ndev - 1, jnp.zeros_like(from_right),
+                           from_right)
+    planes = planes.at[:, :, PAD - S_pad:PAD].set(from_left)
+    hi = PAD + gx_loc * S_pad
+    return planes.at[:, :, hi:hi + S_pad].set(from_right)
+
+
+def _sph_local_pallas(pred, vel, active, params, coeffs, cfg, gx_loc, axis,
+                      interpret):
+    """_sph_local with the fused Pallas kernels: per-device slab-padded
+    buckets, boundary slabs ppermuted into the layout's pad regions, density
+    computed locally then its boundary slabs exchanged for the force pass."""
+    from ..ops.pallas import sph_bucket as sb
+
+    me = jax.lax.axis_index(axis)
+    origin = _grid_origin_static(params, cfg)
+    dim = cfg.dim
+    cfg_loc = dataclasses.replace(
+        cfg, grid_dims=(gx_loc,) + cfg.grid_dims[1:])
+    _, _, _, S, S_pad, CL, PAD = sb._geometry(cfg_loc)
+
+    pos_p, vel_p, mask_p, addr_out, overflow = sb.build_local_slab_buckets(
+        pred, vel, active, origin, gx_loc, me, params, cfg_loc)
+
+    # one exchange carries pos+mask+vel boundary slabs
+    feats = jnp.concatenate([pos_p, mask_p[None], vel_p], axis=0)
+    feats = _exchange_halo_slabs(feats, gx_loc, S_pad, PAD, axis)
+    occ_win = sb.halo_window_occupancy(feats[dim], gx_loc, S_pad, PAD)
+    pv = sb._param_vector(params, coeffs)
+
+    dens = sb._run_pass(sb._density_kernel, feats[:dim + 1], occ_win, pv,
+                        cfg_loc, 4, interpret)
+    # halo densities are the neighbors' locally-exact results
+    dens_p = jnp.pad(dens, ((0, 0), (0, 0), (PAD, PAD)))
+    dens_p = _exchange_halo_slabs(dens_p, gx_loc, S_pad, PAD, axis)
+
+    feats_f = jnp.concatenate([feats, dens_p], axis=0)
+    acc_p = sb._run_pass(sb._force_kernel, feats_f, occ_win, pv, cfg_loc,
+                         dim, interpret)
+
+    def gather(plane, fill):
+        if plane.ndim == 2:
+            flat = plane.reshape(-1)
+            flat = jnp.concatenate([flat, jnp.full((1,), fill, flat.dtype)])
+            return jnp.take(flat, addr_out)
+        return jnp.stack([gather(plane[a], fill)
+                          for a in range(plane.shape[0])], axis=-1)
+
+    den = gather(dens[0], params.target_density)
+    nden = gather(dens[1], DENSITY_PADDING)
+    prs = params.pressure_scalar * (den - params.target_density)
+    nprs = params.near_pressure_scalar * nden
+    acc = gather(acc_p, 0.0)
+    return den, nden, prs, nprs, acc, overflow
+
+
 def _migrate(state_local, active, params, cfg, gx_loc, axis, mig_cap: int):
     """Move particles whose predicted cell-x left the local slab to the
     neighbor device (one slab per step max)."""
@@ -314,15 +385,24 @@ def _migrate(state_local, active, params, cfg, gx_loc, axis, mig_cap: int):
     return state_local, active, lost
 
 
-def make_domain_step(mesh: Mesh, cfg: SimConfig, mig_cap: int = 256):
+def make_domain_step(mesh: Mesh, cfg: SimConfig, mig_cap: int = 256,
+                     use_pallas: bool | None = None):
     """Build the shard_map'ped step: (state, active, params) → (state, active,
-    lost). State rows are sharded over the mesh; scalars replicated."""
+    lost). State rows are sharded over the mesh; scalars replicated.
+
+    use_pallas selects the fused Pallas kernels for the per-device SPH
+    passes (None = auto: on for real TPU devices, off elsewhere — the
+    interpreter is too slow for the CPU test mesh by default)."""
     axis = mesh.axis_names[0]
     ndev = mesh.devices.size
     gx = cfg.grid_dims[0]
     if gx % ndev:
         raise ValueError(f"grid_dims[0]={gx} not divisible by {ndev}")
     gx_loc = gx // ndev
+    on_tpu = jax.default_backend() == "tpu"
+    if use_pallas is None:
+        use_pallas = on_tpu
+    interpret = not on_tpu
 
     row = P(axis)
     row2 = P(axis, None)
@@ -338,9 +418,14 @@ def make_domain_step(mesh: Mesh, cfg: SimConfig, mig_cap: int = 256):
              check_vma=False)
     def domain_step(state, active, params):
         coeffs = KernelCoeffs.from_radius(params.smoothing_radius, cfg.dim)
-        den, nden, prs, nprs, acc, overflow = _sph_local(
-            state.predicted, state.vel, active, params, coeffs, cfg, gx_loc,
-            axis)
+        if use_pallas:
+            den, nden, prs, nprs, acc, overflow = _sph_local_pallas(
+                state.predicted, state.vel, active, params, coeffs, cfg,
+                gx_loc, axis, interpret)
+        else:
+            den, nden, prs, nprs, acc, overflow = _sph_local(
+                state.predicted, state.vel, active, params, coeffs, cfg,
+                gx_loc, axis)
         t_new = state.time + params.dt
         pos, vel, predicted = integrate_mod.integrate(
             state.pos, state.vel, acc, params, t_new)
