@@ -14,7 +14,7 @@ boundary d == h is *included*; its weight is 0 anyway except for poly6).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
+
 
 from ..core.params import KernelCoeffs
 

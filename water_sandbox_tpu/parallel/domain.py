@@ -36,7 +36,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.params import DENSITY_PADDING, KernelCoeffs, SimConfig, SimParams
 from ..core.state import FluidState
-from ..ops import grid as grid_mod, hashing, integrate as integrate_mod
+from ..ops import grid as grid_mod, integrate as integrate_mod
 from ..ops.grid import _FAR
 
 Array = jax.Array

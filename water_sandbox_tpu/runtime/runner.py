@@ -27,8 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.params import Container, InteractionField, SimConfig, SimParams
-from ..core.state import FluidState, init_state
+from ..core.params import Container, SimConfig, SimParams
+from ..core.state import FluidState
 from ..models import scenes as scene_registry
 from ..ops import step as step_mod
 from . import metrics as metrics_mod
