@@ -36,6 +36,18 @@ def test_distributed_sim_runs_and_conserves_particles():
     sim.run(2)
     assert sim.stats()["step"] == 8
 
+    # dense-state extraction feeds the ordinary checkpoint machinery
+    from water_sandbox_tpu.runtime import checkpoint
+    dense = sim.to_dense_state()
+    assert dense.pos.shape == (cfg.n, 3)
+    import tempfile, os as _os
+    with tempfile.TemporaryDirectory() as d:
+        p = _os.path.join(d, "ck.npz")
+        checkpoint.save(p, dense, sim.params, sim.cfg)
+        loaded, _, _ = checkpoint.load(p)
+        assert loaded.pos.shape == (cfg.n, 3)
+        assert int(loaded.step_count) == 8
+
 
 def test_render_frame_and_gif(tmp_path):
     from water_sandbox_tpu import Simulation

@@ -71,6 +71,26 @@ class DistributedSimulation:
         host. Row order is device order, not original particle ids."""
         return domain.gather_dense(self.state, self.active)
 
+    def to_dense_state(self):
+        """Collapse the sharded slots into a dense FluidState of the active
+        particles (host-side; row order is device order) — feeds
+        runtime.checkpoint.save for persistence of distributed runs."""
+        from ..core.state import FluidState
+        act = np.asarray(self.active) > 0
+
+        def take(arr):
+            return jnp.asarray(np.asarray(arr)[act])
+
+        s = self.state
+        return FluidState(
+            pos=take(s.pos), vel=take(s.vel), predicted=take(s.predicted),
+            acc=take(s.acc), density=take(s.density),
+            near_density=take(s.near_density), pressure=take(s.pressure),
+            near_pressure=take(s.near_pressure),
+            step_count=jnp.asarray(jax.device_get(s.step_count)),
+            time=jnp.asarray(jax.device_get(s.time)),
+            overflow=jnp.asarray(jax.device_get(s.overflow)))
+
     def stats(self) -> dict:
         pos, vel = self.particles()
         out = {
