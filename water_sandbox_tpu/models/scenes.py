@@ -90,7 +90,7 @@ def _reference_cube():
     pts = cube_fluid(64, 32, 32)
     cfg = SimConfig(n=pts.shape[0], dim=3,
                     grid_dims=_grid_dims_for((16.0, 9.0, 9.0)),
-                    cell_capacity=16)
+                    cell_capacity=24)
     params = SimParams.create(dim=3)
     return cfg, params, init_state(pts)
 
@@ -162,7 +162,7 @@ def _sort_stress_64k():
     pts = cube_fluid(64, 32, 32)
     cfg = SimConfig(n=pts.shape[0], dim=3,
                     grid_dims=_grid_dims_for((16.0, 9.0, 9.0)),
-                    cell_capacity=16, chunk=4096)
+                    cell_capacity=24, chunk=4096)
     params = SimParams.create(dim=3)
     return cfg, params, init_state(pts)
 
@@ -174,9 +174,18 @@ def _moving_container_256k():
     size = (24.0, 14.0, 14.0)
     pts = cube_fluid(102, 51, 51)  # 265,302 — non-power-of-two on purpose
     cfg = SimConfig(n=pts.shape[0], dim=3, grid_dims=_grid_dims_for(size),
-                    cell_capacity=16, chunk=8192)
+                    cell_capacity=24, chunk=8192)
+    # rest-density target: the fluid settles as water instead of collapsing
+    # into a dense pool (the reference's target of 10 is 19x below its own
+    # initial density — intentional for its explosive sandbox cube, wrong
+    # for a production scene; occupancy stays near the lattice's 8/cell)
     params = SimParams.create(
         dim=3,
+        target_density=lattice_rest_density(0.2, DEFAULT_SMOOTHING_RADIUS, 3),
+        # stiff enough that the settled pool stays near rest density under
+        # its own weight (k=22 at this density scale allows ~2-3x
+        # hydrostatic compression and overflows the cell buckets)
+        pressure_scalar=800.0,
         container=Container.create((0.0, 0.0, 0.0), size,
                                    velocity=(0.5, 0.0, 0.0),
                                    angular_velocity=0.1))
@@ -190,9 +199,12 @@ def _sharded_1m():
     size = (32.0, 14.0, 14.0)
     pts = cube_fluid(160, 80, 80)  # 1,024,000
     cfg = SimConfig(n=pts.shape[0], dim=3, grid_dims=_grid_dims_for(size),
-                    cell_capacity=16, chunk=8192)
+                    cell_capacity=24, chunk=8192)
     params = SimParams.create(
-        dim=3, container=Container.create((0.0, 0.0, 0.0), size))
+        dim=3,
+        target_density=lattice_rest_density(0.2, DEFAULT_SMOOTHING_RADIUS, 3),
+        pressure_scalar=800.0,
+        container=Container.create((0.0, 0.0, 0.0), size))
     return cfg, params, init_state(pts)
 
 
