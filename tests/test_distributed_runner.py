@@ -68,3 +68,28 @@ def test_render_frame_and_gif(tmp_path):
     gif = render.render_trajectory_gif(traj, str(tmp_path / "anim.gif"),
                                        sim.params, fps=5)
     assert os.path.getsize(gif) > 1000
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_distributed_run_zero_steps_and_lost_accumulation():
+    from water_sandbox_tpu.core.params import Container, SimConfig, SimParams
+    from water_sandbox_tpu.core.state import init_state
+    from water_sandbox_tpu.models import scenes
+
+    pts = scenes.cube_fluid(6, 4, 4)
+    params = SimParams.create(
+        dim=3, container=Container.create((0, 0, 0), (4.0, 3.0, 3.0)))
+    cfg = SimConfig(n=pts.shape[0], dim=3, neighbor_mode="bucket_grid",
+                    grid_dims=(24, 16, 16), cell_capacity=16)
+    sim = DistributedSimulation(cfg, params, init_state(pts), n_devices=8,
+                                slack=8.0)
+    sim.run(0)  # must be a no-op, not a NameError
+    assert sim.stats()["step"] == 0
+    # non-blocking runs must still feed the device-side loss accumulator:
+    # stats() reads it back even though run(block=False) never syncs
+    sim.run(2, block=False)
+    sim.run(2, block=False)
+    st = sim.stats()
+    assert st["step"] == 4
+    assert st["lost_particles"] == 0.0
+    assert st["active_particles"] == cfg.n

@@ -198,3 +198,38 @@ def test_bucket_grid_wraparound_is_masked_by_distance():
     expected = h * h * float(coeffs.pow2) + 1e-5
     np.testing.assert_allclose(np.asarray(d), expected, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(acc), 0.0, atol=1e-6)
+
+
+def test_hash_run_truncation_is_counted():
+    """A same-hash run longer than max_run must be surfaced in
+    HashGrid.overflow (the reference walks runs unboundedly,
+    simulation.wgsl:167-183; our emulation walks at most max_run)."""
+    n = 40
+    pred = jnp.zeros((n, 3), jnp.float32) + 0.01  # all in one cell → one run
+    params = SimParams.create(dim=3)
+    cfg = grid_cfg(n, 3, "hash_grid", max_run=8)
+    g = grid_mod.build_hash_grid(pred, params, cfg)
+    assert int(g.overflow) == n - 8
+    # spread cloud with default max_run: no truncation
+    pred2, _ = make_inputs(dim=3, seed=5)
+    cfg2 = grid_cfg(pred2.shape[0], 3, "hash_grid")
+    g2 = grid_mod.build_hash_grid(pred2, params, cfg2)
+    assert int(g2.overflow) == 0
+
+
+def test_grid_dims_required_for_bucket_modes():
+    with pytest.raises(ValueError, match="grid_dims"):
+        SimConfig(n=64, dim=3, neighbor_mode="bucket_grid")
+    with pytest.raises(ValueError, match="grid_dims"):
+        SimConfig(n=64, dim=2, neighbor_mode="pallas", grid_dims=(8, 8, 8))
+    # dense and hash_grid need no grid
+    SimConfig(n=64, dim=3, neighbor_mode="dense")
+    SimConfig(n=64, dim=3, neighbor_mode="hash_grid")
+
+
+def test_trajectory_rejects_indivisible_record_every():
+    pts = scenes.cube_fluid(4, 4, 4)
+    params = SimParams.create(dim=3)
+    cfg = SimConfig(n=pts.shape[0], dim=3, neighbor_mode="dense")
+    with pytest.raises(ValueError, match="divisible"):
+        step_mod.trajectory(init_state(pts), params, cfg, 7, 2)

@@ -285,7 +285,7 @@ class SimConfig:
     n: int
     dim: int = 3
     neighbor_mode: str = "bucket_grid"
-    grid_dims: tuple = ()        # () = derive at trace time from container/h
+    grid_dims: tuple = ()        # required for bucket modes; see __post_init__
     cell_capacity: int = 16
     hash_table_size: int = 0     # 0 = n (the reference uses n)
     max_run: int = 64            # hash_grid: max contiguous same-hash run walked
@@ -297,6 +297,19 @@ class SimConfig:
             raise ValueError("dim must be 2 or 3")
         if self.neighbor_mode not in ("dense", "hash_grid", "bucket_grid", "pallas"):
             raise ValueError(f"bad neighbor_mode {self.neighbor_mode!r}")
+        if self.neighbor_mode in ("bucket_grid", "pallas"):
+            # grid_dims shapes the compiled program, so it cannot be derived
+            # from the (runtime, traced) container inside jit — it must be
+            # chosen up front: ops.hashing.default_grid_dims(container_size, h)
+            if len(self.grid_dims) != self.dim:
+                raise ValueError(
+                    f"neighbor_mode={self.neighbor_mode!r} needs grid_dims of "
+                    f"length dim={self.dim} (got {self.grid_dims!r}); derive "
+                    "them with hashing.default_grid_dims(container_size, "
+                    "smoothing_radius)")
+            if any(d < 3 for d in self.grid_dims):
+                raise ValueError(
+                    f"grid_dims must each be >= 3, got {self.grid_dims!r}")
 
     @property
     def table_size(self) -> int:

@@ -349,7 +349,13 @@ def build_hash_grid(predicted: Array, params: SimParams,
                     cfg: SimConfig) -> HashGrid:
     """hash_particles (simulation.wgsl:131-141) + bitonic sort
     (bitonic_sort.wgsl:23-46 → one XLA sort) + calculate_cell_offsets
-    (:49-59 → scatter-min)."""
+    (:49-59 → scatter-min).
+
+    ``overflow`` counts sorted entries beyond the ``cfg.max_run`` prefix of
+    their same-hash run: the reference walks runs unboundedly
+    (simulation.wgsl:167-183) while `_hash_candidates` walks at most max_run
+    entries, so any such entry is invisible as a neighbor candidate and the
+    emulation is only exact when this count is 0."""
     n = predicted.shape[0]
     table = cfg.table_size
     cell = hashing.get_cell(predicted, params.smoothing_radius)
@@ -358,8 +364,12 @@ def build_hash_grid(predicted: Array, params: SimParams,
     sorted_keys = keys[order]
     ranks = jnp.arange(n, dtype=jnp.int32)
     starts = jnp.full((table,), n, jnp.int32).at[sorted_keys].min(ranks)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_keys[1:] != sorted_keys[:-1]])
+    run_start = jax.lax.cummax(jnp.where(first, ranks, 0))
+    truncated = jnp.sum(ranks - run_start >= cfg.max_run).astype(jnp.int32)
     return HashGrid(order=order, sorted_keys=sorted_keys, starts=starts,
-                    overflow=jnp.zeros((), jnp.int32))
+                    overflow=truncated)
 
 
 def _hash_candidates(chunk_pred: Array, grid: HashGrid, params: SimParams,

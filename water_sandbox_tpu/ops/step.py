@@ -94,6 +94,11 @@ def trajectory(state: FluidState, params: SimParams, cfg: SimConfig,
                num_steps: int, record_every: int = 1):
     """Rollout that also stacks recorded positions: returns
     (final_state, positions (num_records, n, dim))."""
+    if num_steps % record_every:
+        raise ValueError(
+            f"num_steps={num_steps} not divisible by record_every="
+            f"{record_every}; the remainder steps would be silently dropped")
+
     def body(s, _):
         s2 = jax.lax.fori_loop(
             0, record_every, lambda _, st: step(st, params, cfg), s)

@@ -116,8 +116,12 @@ def shard_state(state: FluidState, mesh: Mesh, cfg: SimConfig,
 def _local_buckets(pred, vel, active, origin, params, cfg, gx_loc, my_dev):
     """Bucket local particles into the local slab range (+ nothing else).
     Particles currently outside the local slab (pre-migration stragglers)
-    are clamped into the boundary slab; the distance filter keeps physics
-    exact because their positions are untouched."""
+    are clamped into the boundary slab with their positions untouched, so
+    every pair the walk *does* visit uses exact geometry — but a straggler
+    only sees pairs inside the local+halo window; true neighbors deeper in
+    the neighboring domain are missed until it migrates (bounded error:
+    fluids move ≤ one slab per step for sane dt, and send overflow that
+    delays migration is counted in `lost`)."""
     h = params.smoothing_radius
     dims = cfg.grid_dims
     S = 1

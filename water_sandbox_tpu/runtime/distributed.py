@@ -40,6 +40,7 @@ class DistributedSimulation:
             state, self.mesh, cfg, params, slack=slack)
         self._step = domain.make_domain_step(self.mesh, cfg, mig_cap=mig_cap)
         self.lost_total = 0.0
+        self._lost_acc = jnp.zeros((), jnp.float32)
         self.metrics = metrics_mod.MetricsRecorder()
 
     @classmethod
@@ -50,12 +51,20 @@ class DistributedSimulation:
                    name=name)
 
     def run(self, num_steps: int = 1, block: bool = True):
+        if num_steps <= 0:
+            return self
         t0 = _time.perf_counter()
+        # every step's migration-loss count is accumulated on-device (a
+        # device-side running sum — one add per step, no host syncs) so no
+        # step's losses go unreported regardless of `block`.
+        lost_acc = self._lost_acc
         for _ in range(num_steps):
             self.state, self.active, lost = self._step(
                 self.state, self.active, self.params)
+            lost_acc = lost_acc + lost
+        self._lost_acc = lost_acc
         if block:
-            self.lost_total += float(jax.device_get(lost))
+            self.lost_total = float(jax.device_get(lost_acc))
             self.metrics.record_steps(num_steps, self.cfg.n,
                                       _time.perf_counter() - t0)
         return self
@@ -93,6 +102,7 @@ class DistributedSimulation:
 
     def stats(self) -> dict:
         pos, vel = self.particles()
+        self.lost_total = float(jax.device_get(self._lost_acc))
         out = {
             "step": int(jax.device_get(self.state.step_count)),
             "active_particles": int(pos.shape[0]),
