@@ -451,6 +451,34 @@ def make_domain_step(mesh: Mesh, cfg: SimConfig, mig_cap: int = 256,
     return jax.jit(domain_step)
 
 
+def make_domain_rollout(mesh: Mesh, cfg: SimConfig, mig_cap: int = 256,
+                        use_pallas: bool | None = None):
+    """Multi-step rollout of the domain step under one ``lax.scan`` — the
+    sharded counterpart of ops.step.rollout. One dispatch per *chunk* instead
+    of one per step (the reference pays one submit per frame,
+    /root/reference/src/fluid_compute.rs:396; a real-slice run must not).
+
+    Returns ``rollout(state, active, params, num_steps) ->
+    (state, active, lost_sum)`` with donated state/active buffers and the
+    per-step migration losses summed on-device.
+    """
+    step = make_domain_step(mesh, cfg, mig_cap=mig_cap, use_pallas=use_pallas)
+
+    @partial(jax.jit, static_argnums=(3,), donate_argnums=(0, 1))
+    def rollout(state, active, params, num_steps: int):
+        def body(carry, _):
+            st, act, lost = carry
+            st, act, l = step(st, act, params)
+            return (st, act, lost + l), None
+
+        init = (state, active, jnp.zeros((), jnp.float32))
+        (state, active, lost), _ = jax.lax.scan(
+            body, init, None, length=num_steps)
+        return state, active, lost
+
+    return rollout
+
+
 def gather_dense(state, active) -> tuple:
     """Host-side: extract the active particles (order not meaningful across
     devices). Returns (positions, velocities) as numpy arrays."""

@@ -38,7 +38,8 @@ class DistributedSimulation:
         self.name = name
         self.state, self.active = domain.shard_state(
             state, self.mesh, cfg, params, slack=slack)
-        self._step = domain.make_domain_step(self.mesh, cfg, mig_cap=mig_cap)
+        self._rollout = domain.make_domain_rollout(self.mesh, cfg,
+                                                   mig_cap=mig_cap)
         self.lost_total = 0.0
         self._lost_acc = jnp.zeros((), jnp.float32)
         self.metrics = metrics_mod.MetricsRecorder()
@@ -50,18 +51,25 @@ class DistributedSimulation:
         return cls(cfg, params, state, n_devices=n_devices, slack=slack,
                    name=name)
 
+    # scanned-rollout chunk sizes — same compile-count bound as
+    # Simulation._CHUNKS (runtime/runner.py)
+    _CHUNKS = (64, 8, 1)
+
     def run(self, num_steps: int = 1, block: bool = True):
         if num_steps <= 0:
             return self
         t0 = _time.perf_counter()
-        # every step's migration-loss count is accumulated on-device (a
-        # device-side running sum — one add per step, no host syncs) so no
-        # step's losses go unreported regardless of `block`.
+        # the rollout scans steps on-device (one dispatch per chunk, not per
+        # step) and sums every step's migration losses in the scan carry, so
+        # no step's losses go unreported regardless of `block`.
         lost_acc = self._lost_acc
-        for _ in range(num_steps):
-            self.state, self.active, lost = self._step(
-                self.state, self.active, self.params)
-            lost_acc = lost_acc + lost
+        remaining = num_steps
+        for size in self._CHUNKS:
+            while remaining >= size:
+                self.state, self.active, lost = self._rollout(
+                    self.state, self.active, self.params, size)
+                lost_acc = lost_acc + lost
+                remaining -= size
         self._lost_acc = lost_acc
         if block:
             self.lost_total = float(jax.device_get(lost_acc))
