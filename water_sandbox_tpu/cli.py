@@ -91,6 +91,26 @@ def _cmd_bench(args):
     }))
 
 
+def _cmd_live(args):
+    from .viz import live
+
+    sim = _make_sim(args)
+    live.run_live(sim, width=args.width, height=args.height,
+                  steps_per_frame=args.steps_per_frame,
+                  max_frames=args.max_frames, color=not args.no_color)
+    print(json.dumps(sim.stats(), default=float))
+
+
+def _cmd_serve(args):
+    from .viz.server import ViewerServer
+
+    sim = _make_sim(args)
+    server = ViewerServer(sim, host=args.host, port=args.port,
+                          steps_per_frame=args.steps_per_frame)
+    server.serve(max_seconds=args.max_seconds)
+    print(json.dumps(sim.stats(), default=float))
+
+
 def _cmd_render(args):
     from .io.export import load_trajectory
     from .models import scenes
@@ -135,6 +155,27 @@ def main(argv=None):
     ben.add_argument("--steps", type=int, default=20)
     ben.add_argument("--neighbor-mode", default=None)
 
+    liv = sub.add_parser(
+        "live", help="interactive terminal session: watch the fluid, tune "
+        "params with the reference HUD keymap (hud.rs:130-165)")
+    liv.add_argument("--scene", default="dam-break-2d-4k")
+    liv.add_argument("--neighbor-mode", default=None)
+    liv.add_argument("--width", type=int, default=96)
+    liv.add_argument("--height", type=int, default=28)
+    liv.add_argument("--steps-per-frame", type=int, default=4)
+    liv.add_argument("--max-frames", type=int, default=None)
+    liv.add_argument("--no-color", action="store_true")
+
+    srv = sub.add_parser(
+        "serve", help="browser viewer: 3-D orbit point cloud, velocity "
+        "colors, live keyboard tuning")
+    srv.add_argument("--scene", default="dam-break-2d-4k")
+    srv.add_argument("--neighbor-mode", default=None)
+    srv.add_argument("--host", default="127.0.0.1")
+    srv.add_argument("--port", type=int, default=8787)
+    srv.add_argument("--steps-per-frame", type=int, default=4)
+    srv.add_argument("--max-seconds", type=float, default=None)
+
     ren = sub.add_parser("render", help="render an exported trajectory to GIF")
     ren.add_argument("--trajectory", required=True)
     ren.add_argument("--out", default="out.gif")
@@ -144,7 +185,8 @@ def main(argv=None):
 
     args = p.parse_args(argv)
     {"scenes": _cmd_scenes, "run": _cmd_run, "resume": _cmd_resume,
-     "bench": _cmd_bench, "render": _cmd_render}[args.cmd](args)
+     "bench": _cmd_bench, "render": _cmd_render, "live": _cmd_live,
+     "serve": _cmd_serve}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -186,6 +186,13 @@ def _moving_container_256k():
         # its own weight (k=22 at this density scale allows ~2-3x
         # hydrostatic compression and overflows the cell buckets)
         pressure_scalar=800.0,
+        # CFL: the EOS sound speed is c ~ sqrt(k) ~ 28 m/s, so dt must keep
+        # c*dt < h = 0.25. The reference's 1/60 violates it ~2x at this
+        # stiffness (measured: KE grows without bound and wall pileups
+        # reach 80 particles/cell — benchmarks/occupancy_256k_results.json);
+        # 1/120 is stable. Two sim steps per 60 Hz frame, standard SPH
+        # sub-stepping.
+        dt=1.0 / 120.0,
         container=Container.create((0.0, 0.0, 0.0), size,
                                    velocity=(0.5, 0.0, 0.0),
                                    angular_velocity=0.1))
@@ -204,6 +211,7 @@ def _sharded_1m():
         dim=3,
         target_density=lattice_rest_density(0.2, DEFAULT_SMOOTHING_RADIUS, 3),
         pressure_scalar=800.0,
+        dt=1.0 / 120.0,  # CFL at k=800 — see moving-container-256k
         container=Container.create((0.0, 0.0, 0.0), size))
     return cfg, params, init_state(pts)
 

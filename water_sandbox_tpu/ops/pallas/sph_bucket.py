@@ -206,15 +206,9 @@ def build_local_slab_buckets(pred: Array, vel: Array, active: Array,
 
 def halo_window_occupancy(mask_ext: Array, gx_loc: int, S_pad: int,
                           PAD: int) -> Array:
-    """window_occupancy for the domain path: the mask plane already carries
-    the exchanged halo slabs in its pad positions, so slab maxima cover
-    slabs -1..gx_loc."""
-    counts = jnp.sum(mask_ext, axis=0)
-    span = counts[PAD - S_pad:PAD + (gx_loc + 1) * S_pad]
-    slab_max = jnp.max(span.reshape(gx_loc + 2, S_pad), axis=1)
-    win = jnp.maximum(jnp.maximum(slab_max[:-2], slab_max[1:-1]),
-                      slab_max[2:])
-    return jnp.ceil(win).astype(jnp.int32)
+    """Domain-path alias: window_occupancy already counts halo slabs
+    ppermuted into the pad regions (it reads one slab into each pad)."""
+    return window_occupancy(mask_ext, gx_loc, S_pad, PAD)
 
 
 def _window_dma(feats_ref, scratch, sems, i, *, S_pad, CL):
@@ -250,66 +244,84 @@ def _cand_start(off, *, CL, gz):
 # 1-8 of 16 slots, so this typically halves the pair math).
 _QROWS = 8
 
+# Lane-chunk target width: occupancy is bounded per (slab, lane-chunk), so
+# empty air above a settled pool costs nothing even inside occupied slabs.
+_YC = 512
+
+
+def _lane_chunks(S_pad: int):
+    """Static (start, width) lane chunks covering [0, S_pad).
+
+    Every chunk is ≥ 2 lane tiles (256) wide: Mosaic rejects dynamic-sublane
+    loads at statically-unaligned lane offsets when the slice is a single
+    128-lane tile (same constraint that forces S_pad ≥ 2·_M in _geometry)."""
+    out = []
+    s = 0
+    while s < S_pad:
+        w = min(_YC, S_pad - s)
+        if S_pad - (s + w) in range(1, 256):  # tail would be a thin chunk
+            w = S_pad - s
+        out.append((s, w))
+        s += w
+    return out
+
 
 def _density_kernel(occ_ref, params_ref, feats_ref, out_ref, scratch, sems,
                     scratch_out, out_sem, *, dim, cap, gz, S_pad, CL):
     i = pl.program_id(0)
-    occ = occ_ref[i]
     _window_dma(feats_ref, scratch, sems, i, S_pad=S_pad, CL=CL)
 
     h = params_ref[0, _P_H]
+    h2 = h * h
     pow2 = params_ref[0, _P_POW2]
     pow3 = params_ref[0, _P_POW3]
-    target = params_ref[0, _P_TARGET_DENSITY]
-    p_scl = params_ref[0, _P_PRESSURE]
-    np_scl = params_ref[0, _P_NEAR_PRESSURE]
 
     qs = CL + _M  # window-local start of this slab's real cells
-    T = S_pad
     Q = _QROWS
 
-    for q0 in range(0, cap, Q):
-        @pl.when(occ > q0)
-        def _compute(q0=q0):
-            qpos = [scratch[a, q0:q0 + Q, pl.ds(qs, T)] for a in range(dim)]
-            den = jnp.zeros((Q, T), jnp.float32)
-            nden = jnp.zeros((Q, T), jnp.float32)
-            for off in _offsets(dim):
-                cs = _cand_start(off, CL=CL, gz=gz)
+    for yc, (y0, T) in enumerate(_lane_chunks(S_pad)):
+        occ = occ_ref[i, yc]
 
-                def n_body(n, carry):
-                    den, nden = carry
-                    dist2 = jnp.zeros((Q, T), jnp.float32)
-                    for a in range(dim):
-                        d_a = scratch[a, n, pl.ds(cs, T)][None, :] - qpos[a]
-                        dist2 = dist2 + d_a * d_a
-                    dist = jnp.sqrt(dist2)
-                    mask_n = scratch[dim, n, pl.ds(cs, T)][None, :]
-                    # self-interaction included, like the reference walk
-                    # (simulation.wgsl:162-183)
-                    m = jnp.where(dist <= h, mask_n, 0.0)
-                    v = h - jnp.minimum(dist, h)
-                    den = den + m * (v * v * pow2)
-                    nden = nden + m * (v * v * v * pow3)
-                    return den, nden
+        for q0 in range(0, cap, Q):
+            @pl.when(occ > q0)
+            def _compute(q0=q0, y0=y0, T=T, occ=occ):
+                qpos = [scratch[a, q0:q0 + Q, pl.ds(qs + y0, T)]
+                        for a in range(dim)]
+                den = jnp.zeros((Q, T), jnp.float32)
+                nden = jnp.zeros((Q, T), jnp.float32)
+                for off in _offsets(dim):
+                    cs = _cand_start(off, CL=CL, gz=gz) + y0
 
-                den, nden = _slot_loop(occ, n_body, (den, nden))
+                    def n_body(n, carry):
+                        den, nden = carry
+                        dist2 = jnp.zeros((Q, T), jnp.float32)
+                        for a in range(dim):
+                            d_a = (scratch[a, n, pl.ds(cs, T)][None, :]
+                                   - qpos[a])
+                            dist2 = dist2 + d_a * d_a
+                        mask_n = scratch[dim, n, pl.ds(cs, T)][None, :]
+                        # self-interaction included, like the reference walk
+                        # (simulation.wgsl:162-183)
+                        m = jnp.where(dist2 <= h2, mask_n, 0.0)
+                        # clamp: sentinel distances overflow (h-d)^3 into
+                        # inf and the masked product would be 0*inf = NaN
+                        v = h - jnp.sqrt(jnp.minimum(dist2, h2))
+                        den = den + m * (v * v * pow2)
+                        nden = nden + m * (v * v * v * pow3)
+                        return den, nden
 
-            den = den + DENSITY_PADDING
-            nden = nden + DENSITY_PADDING
-            scratch_out[0, q0:q0 + Q, :] = den
-            scratch_out[1, q0:q0 + Q, :] = nden
-            scratch_out[2, q0:q0 + Q, :] = p_scl * (den - target)
-            scratch_out[3, q0:q0 + Q, :] = np_scl * nden
+                    den, nden = _slot_loop(occ, n_body, (den, nden))
 
-        @pl.when(occ <= q0)
-        def _default(q0=q0):
-            # these bucket rows are empty everywhere in the window
-            pad = jnp.full((Q, T), DENSITY_PADDING, jnp.float32)
-            scratch_out[0, q0:q0 + Q, :] = pad
-            scratch_out[1, q0:q0 + Q, :] = pad
-            scratch_out[2, q0:q0 + Q, :] = p_scl * (pad - target)
-            scratch_out[3, q0:q0 + Q, :] = np_scl * pad
+                scratch_out[0, q0:q0 + Q, pl.ds(y0, T)] = den + DENSITY_PADDING
+                scratch_out[1, q0:q0 + Q, pl.ds(y0, T)] = (nden
+                                                           + DENSITY_PADDING)
+
+            @pl.when(occ <= q0)
+            def _default(q0=q0, y0=y0, T=T):
+                # these bucket rows are empty everywhere in the sub-window
+                zero = jnp.zeros((Q, T), jnp.float32)
+                scratch_out[0, q0:q0 + Q, pl.ds(y0, T)] = zero
+                scratch_out[1, q0:q0 + Q, pl.ds(y0, T)] = zero
 
     cp = pltpu.make_async_copy(
         scratch_out, out_ref.at[:, :, pl.ds(i * S_pad, S_pad)], out_sem)
@@ -320,106 +332,120 @@ def _density_kernel(occ_ref, params_ref, feats_ref, out_ref, scratch, sems,
 def _force_kernel(occ_ref, params_ref, feats_ref, out_ref, scratch, sems,
                   scratch_out, out_sem, *, dim, cap, gz, S_pad, CL):
     i = pl.program_id(0)
-    occ = occ_ref[i]
     _window_dma(feats_ref, scratch, sems, i, S_pad=S_pad, CL=CL)
 
     h = params_ref[0, _P_H]
+    h2 = h * h
     pow2_der = params_ref[0, _P_POW2_DER]
     pow3_der = params_ref[0, _P_POW3_DER]
     spikey = params_ref[0, _P_SPIKEY]
     viscosity = params_ref[0, _P_VISCOSITY]
+    target = params_ref[0, _P_TARGET_DENSITY]
+    # pressures are EOS-affine in the densities — derived per row here
+    # (half-scaled: shared pressure is the pair mean, wgsl:251-259)
+    pa = params_ref[0, _P_PRESSURE] * 0.5
+    pb = -params_ref[0, _P_PRESSURE] * target * 0.5
+    npa = params_ref[0, _P_NEAR_PRESSURE] * 0.5
 
     # feats plane layout (bucket_sph below):
-    #   [0:dim) pos | dim mask | [dim+1:2dim+1) vel |
-    #   2dim+1 den | 2dim+2 nden | 2dim+3 prs | 2dim+4 nprs
+    #   [0:dim) pos | dim mask | [dim+1:2dim+1) vel | 2dim+1 den | 2dim+2 nden
     MASK = dim
     VEL = dim + 1
     DEN = 2 * dim + 1
     NDEN = 2 * dim + 2
-    PRS = 2 * dim + 3
-    NPRS = 2 * dim + 4
 
     qs = CL + _M
-    T = S_pad
     Q = _QROWS
 
-    for q0 in range(0, cap, Q):
-        @pl.when(occ > q0)
-        def _compute(q0=q0):
-            qpos = [scratch[a, q0:q0 + Q, pl.ds(qs, T)] for a in range(dim)]
-            qvel = [scratch[VEL + a, q0:q0 + Q, pl.ds(qs, T)]
-                    for a in range(dim)]
-            qden = scratch[DEN, q0:q0 + Q, pl.ds(qs, T)]
-            qprs = scratch[PRS, q0:q0 + Q, pl.ds(qs, T)]
-            qnprs = scratch[NPRS, q0:q0 + Q, pl.ds(qs, T)]
+    for yc, (y0, T) in enumerate(_lane_chunks(S_pad)):
+        occ = occ_ref[i, yc]
 
-            pforce = [jnp.zeros((Q, T), jnp.float32) for _ in range(dim)]
-            vforce = [jnp.zeros((Q, T), jnp.float32) for _ in range(dim)]
-            row_ids = q0 + jax.lax.broadcasted_iota(jnp.int32, (Q, 1), 0)
+        for q0 in range(0, cap, Q):
+            @pl.when(occ > q0)
+            def _compute(q0=q0, y0=y0, T=T, occ=occ):
+                qpos = [scratch[a, q0:q0 + Q, pl.ds(qs + y0, T)]
+                        for a in range(dim)]
+                qvel = [scratch[VEL + a, q0:q0 + Q, pl.ds(qs + y0, T)]
+                        for a in range(dim)]
+                qden = scratch[DEN, q0:q0 + Q, pl.ds(qs + y0, T)]
+                qnden = scratch[NDEN, q0:q0 + Q, pl.ds(qs + y0, T)]
+                qprs = pa * qden + pb
+                qnprs = npa * qnden
 
-            for off in _offsets(dim):
-                cs = _cand_start(off, CL=CL, gz=gz)
-                is_center = all(o == 0 for o in off)
+                pforce = [jnp.zeros((Q, T), jnp.float32) for _ in range(dim)]
+                vforce = [jnp.zeros((Q, T), jnp.float32) for _ in range(dim)]
+                row_ids = q0 + jax.lax.broadcasted_iota(jnp.int32, (Q, 1), 0)
 
-                def n_body(n, carry):
-                    pforce, vforce = carry
-                    disp = []
-                    dist2 = jnp.zeros((Q, T), jnp.float32)
-                    for a in range(dim):
-                        d_a = scratch[a, n, pl.ds(cs, T)][None, :] - qpos[a]
-                        disp.append(d_a)
-                        dist2 = dist2 + d_a * d_a
-                    dist = jnp.sqrt(dist2)
-                    mask_n = scratch[MASK, n, pl.ds(cs, T)][None, :]
-                    m = jnp.where(dist <= h, mask_n, 0.0)
-                    if is_center:
-                        # skip the self pair (simulation.wgsl:231-233)
-                        m = m * (row_ids != n).astype(jnp.float32)
-                    dc = jnp.minimum(dist, h)
+                for off in _offsets(dim):
+                    cs = _cand_start(off, CL=CL, gz=gz) + y0
+                    is_center = all(o == 0 for o in off)
 
-                    inv = jnp.where(
-                        dist > 0.0,
-                        1.0 / jnp.where(dist > 0.0, dist, 1.0), 0.0)
-                    zero_dist = (dist == 0.0).astype(jnp.float32)
+                    def n_body(n, carry):
+                        pforce, vforce = carry
+                        disp = []
+                        dist2 = jnp.zeros((Q, T), jnp.float32)
+                        for a in range(dim):
+                            d_a = (scratch[a, n, pl.ds(cs, T)][None, :]
+                                   - qpos[a])
+                            disp.append(d_a)
+                            dist2 = dist2 + d_a * d_a
+                        mask_n = scratch[MASK, n, pl.ds(cs, T)][None, :]
+                        m = jnp.where(dist2 <= h2, mask_n, 0.0)
+                        if is_center:
+                            # skip the self pair (simulation.wgsl:231-233)
+                            m = m * (row_ids != n).astype(jnp.float32)
 
-                    den_n = scratch[DEN, n, pl.ds(cs, T)][None, :]
-                    nden_n = scratch[NDEN, n, pl.ds(cs, T)][None, :]
-                    den_n = jnp.where(den_n > 0.0, den_n, 1.0)
-                    nden_n = jnp.where(nden_n > 0.0, nden_n, 1.0)
-                    prs_n = scratch[PRS, n, pl.ds(cs, T)][None, :]
-                    nprs_n = scratch[NPRS, n, pl.ds(cs, T)][None, :]
+                        # dist via rsqrt; guard d == 0 (inv -> 0, dist -> 0)
+                        inv = jnp.where(dist2 > 0.0, jax.lax.rsqrt(
+                            jnp.where(dist2 > 0.0, dist2, 1.0)), 0.0)
+                        dc2 = jnp.minimum(dist2, h2)  # sentinel overflow guard
+                        dc = dc2 * jnp.where(dist2 > 0.0, inv, 0.0)
+                        dc = jnp.minimum(dc, h)
+                        zero_dist = (dist2 == 0.0).astype(jnp.float32)
 
-                    shared_p = (qprs + prs_n) * 0.5
-                    shared_np = (qnprs + nprs_n) * 0.5
-                    v = dc - h
-                    scale = m * (shared_p * (v * pow2_der) / den_n
-                                 + shared_np * (v * v * pow3_der) / nden_n)
+                        den_n = scratch[DEN, n, pl.ds(cs, T)][None, :]
+                        nden_n = scratch[NDEN, n, pl.ds(cs, T)][None, :]
+                        deninv_n = jnp.where(
+                            den_n > 0.0,
+                            1.0 / jnp.where(den_n > 0.0, den_n, 1.0), 0.0)
+                        ndeninv_n = jnp.where(
+                            nden_n > 0.0,
+                            1.0 / jnp.where(nden_n > 0.0, nden_n, 1.0), 0.0)
 
-                    hv = h * h - dc * dc
-                    w_visc = m * (hv * hv * hv * spikey)
+                        shared_p = qprs + (pa * den_n + pb)
+                        shared_np = qnprs + npa * nden_n
+                        v = dc - h
+                        scale = m * (shared_p * (v * pow2_der) * deninv_n
+                                     + shared_np * (v * v * pow3_der)
+                                     * ndeninv_n)
 
-                    for a in range(dim):
-                        dir_a = disp[a] * inv
-                        if a == 1:
-                            # +y fallback at d == 0 (wgsl:243-248)
-                            dir_a = dir_a + zero_dist
-                        pforce[a] = pforce[a] + dir_a * scale
-                        vel_n = scratch[VEL + a, n, pl.ds(cs, T)][None, :]
-                        vforce[a] = vforce[a] + (vel_n - qvel[a]) * w_visc
-                    return pforce, vforce
+                        hv = h2 - dc2
+                        w_visc = m * (hv * hv * hv * spikey)
 
-                pforce, vforce = _slot_loop(occ, n_body, (pforce, vforce))
+                        for a in range(dim):
+                            dir_a = disp[a] * inv
+                            if a == 1:
+                                # +y fallback at d == 0 (wgsl:243-248)
+                                dir_a = dir_a + zero_dist
+                            pforce[a] = pforce[a] + dir_a * scale
+                            vel_n = scratch[VEL + a, n,
+                                            pl.ds(cs, T)][None, :]
+                            vforce[a] = vforce[a] + (vel_n - qvel[a]) * w_visc
+                        return pforce, vforce
 
-            qden_safe = jnp.where(qden > 0.0, qden, 1.0)
-            for a in range(dim):
-                scratch_out[a, q0:q0 + Q, :] = (
-                    pforce[a] / qden_safe + viscosity * vforce[a])
+                    pforce, vforce = _slot_loop(occ, n_body, (pforce, vforce))
 
-        @pl.when(occ <= q0)
-        def _default(q0=q0):
-            zero = jnp.zeros((Q, T), jnp.float32)
-            for a in range(dim):
-                scratch_out[a, q0:q0 + Q, :] = zero
+                qden_inv = jnp.where(
+                    qden > 0.0, 1.0 / jnp.where(qden > 0.0, qden, 1.0), 0.0)
+                for a in range(dim):
+                    scratch_out[a, q0:q0 + Q, pl.ds(y0, T)] = (
+                        pforce[a] * qden_inv + viscosity * vforce[a])
+
+            @pl.when(occ <= q0)
+            def _default(q0=q0, y0=y0, T=T):
+                zero = jnp.zeros((Q, T), jnp.float32)
+                for a in range(dim):
+                    scratch_out[a, q0:q0 + Q, pl.ds(y0, T)] = zero
 
     cp = pltpu.make_async_copy(
         scratch_out, out_ref.at[:, :, pl.ds(i * S_pad, S_pad)], out_sem)
@@ -444,16 +470,30 @@ def _param_vector(params: SimParams, coeffs: KernelCoeffs) -> Array:
 
 def window_occupancy(mask_plane: Array, gx: int, S_pad: int,
                      PAD: int) -> Array:
-    """Per-slab max cell occupancy over the 3-slab window — the runtime
-    bound for the candidate-slot loops. Pure reductions, no scatters.
-    mask_plane: (cap, L) slab-padded layout."""
-    counts = jnp.sum(mask_plane[:, PAD:PAD + gx * S_pad], axis=0)
-    slab_max = jnp.max(counts.reshape(gx, S_pad), axis=1)   # (gx,)
-    padded = jnp.concatenate(
-        [jnp.zeros((1,), slab_max.dtype), slab_max,
-         jnp.zeros((1,), slab_max.dtype)])
-    win = jnp.maximum(jnp.maximum(padded[:-2], padded[1:-1]), padded[2:])
-    return jnp.ceil(win).astype(jnp.int32)
+    """Per-(slab, lane-chunk) max cell occupancy over the 3-slab × ±_M-lane
+    window — the runtime bound for the candidate-slot loops. Pure
+    reductions, no scatters. Lane chunking means empty air above a settled
+    pool is skipped even inside occupied slabs.
+
+    mask_plane: (cap, L) slab-padded layout. The span read includes one
+    slab's worth of the PAD regions, so halo slabs ppermuted into the pads
+    by the domain-decomposed step (parallel/domain.py) are counted too
+    (single-chip builds leave the pads zero-masked). Returns (gx, NYC)
+    int32."""
+    counts = jnp.sum(mask_plane, axis=0)
+    span = counts[PAD - S_pad:PAD + (gx + 1) * S_pad]
+    c2 = span.reshape(gx + 2, S_pad)
+    # lane margins: a chunk's candidates reach ±(gz+1) ≤ _M lanes, which at
+    # slab edges live in the adjacent slab's rows
+    zl = jnp.zeros((1, _M), c2.dtype)
+    left = jnp.concatenate([zl, c2[:-1, S_pad - _M:]], axis=0)
+    right = jnp.concatenate([c2[1:, :_M], zl], axis=0)
+    c2e = jnp.concatenate([left, c2, right], axis=1)
+    cols = [jnp.max(c2e[:, y0:y0 + T + 2 * _M], axis=1)
+            for (y0, T) in _lane_chunks(S_pad)]
+    m0 = jnp.stack(cols, axis=1)                       # (gx+2, NYC)
+    occ = jnp.maximum(jnp.maximum(m0[:-2], m0[1:-1]), m0[2:])
+    return jnp.ceil(occ).astype(jnp.int32)
 
 
 def _run_pass(kernel_body, feats: Array, occ_win: Array, params_vec: Array,
@@ -519,15 +559,17 @@ def bucket_sph(predicted: Array, vel: Array, params: SimParams,
     params_vec = _param_vector(params, coeffs)
     occ_win = window_occupancy(mask_p, gx, S_pad, PAD)
 
-    # density pass: planes [pos | mask]
+    # density pass: planes [pos | mask] → (den, nden); pressures are
+    # EOS-affine in the densities, derived per row inside the force kernel
+    # and per particle after the gather-back — never materialized as planes
     feats_d = jnp.concatenate([pos_p, mask_p[None]], axis=0)
-    dens = _run_pass(_density_kernel, feats_d, occ_win, params_vec, cfg, 4,
+    dens = _run_pass(_density_kernel, feats_d, occ_win, params_vec, cfg, 2,
                      interpret)
     den_c, nden_c = dens[0], dens[1]
 
-    # force pass: planes [pos | mask | vel | den | nden | prs | nprs];
-    # density outputs lack the PAD ends — restore them with a zero pad (the
-    # end cells are empty, their values never pass the mask)
+    # force pass: planes [pos | mask | vel | den | nden]; density outputs
+    # lack the PAD ends — restore them with a zero pad (the end cells are
+    # empty, their values never pass the mask)
     dens_padded = jnp.pad(dens, ((0, 0), (0, 0), (PAD, PAD)))
     feats_f = jnp.concatenate([pos_p, mask_p[None], vel_p, dens_padded],
                               axis=0)

@@ -286,7 +286,7 @@ def _sph_local_pallas(pred, vel, active, params, coeffs, cfg, gx_loc, axis,
     pv = sb._param_vector(params, coeffs)
 
     dens = sb._run_pass(sb._density_kernel, feats[:dim + 1], occ_win, pv,
-                        cfg_loc, 4, interpret)
+                        cfg_loc, 2, interpret)
     # halo densities are the neighbors' locally-exact results
     dens_p = jnp.pad(dens, ((0, 0), (0, 0), (PAD, PAD)))
     dens_p = _exchange_halo_slabs(dens_p, gx_loc, S_pad, PAD, axis)

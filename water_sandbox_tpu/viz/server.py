@@ -1,0 +1,203 @@
+"""Browser-based live viewer: 3-D point cloud with a pan-orbit camera,
+velocity coloring, live parameter tuning from the keyboard.
+
+The TPU-native answer to the reference's presentation layer: pan-orbit
+camera (/root/reference/src/camera.rs:44-61 — drag orbits, wheel zooms,
+shift-drag pans), container wireframe gizmo (src/fluid_container.rs:93-103),
+the HUD keymap (src/hud.rs:130-165 via runtime/keymap.py), and the
+velocity→color mapping the reference left commented out
+(src/fluid_compute.rs:489-502). Stdlib only (http.server + canvas JS);
+the simulation steps on-device in the main thread and the browser polls
+~20 Hz for a subsampled positions/speed frame.
+
+    python -m water_sandbox_tpu.cli serve --scene dam-break-2d-4k --port 8787
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from ..runtime import keymap
+
+_PAGE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>water-sandbox-tpu</title><style>
+body{margin:0;background:#0b0e14;color:#aab;font:12px monospace;overflow:hidden}
+#hud{position:fixed;left:8px;top:8px;white-space:pre;pointer-events:none;
+     text-shadow:0 0 4px #000}
+#msg{position:fixed;left:8px;bottom:8px;color:#7c9;white-space:pre}
+canvas{display:block}
+</style></head><body>
+<div id="hud"></div><div id="msg">drag orbit · wheel zoom · shift-drag pan ·
+keys: 1/2 radius q/w pressure a/s near z/x density e/r viscosity 3/4 gravity
+0/9 g-off/on space reset p pause</div>
+<canvas id="c"></canvas><script>
+const cv=document.getElementById('c'),ctx=cv.getContext('2d');
+let yaw=-0.5,pitch=0.35,dist=0,panX=0,panY=0,frame=null;
+function resize(){cv.width=innerWidth;cv.height=innerHeight;}
+addEventListener('resize',resize);resize();
+function b64f32(s){const b=atob(s),a=new Uint8Array(b.length);
+ for(let i=0;i<b.length;i++)a[i]=b.charCodeAt(i);return new Float32Array(a.buffer);}
+async function poll(){try{
+ const r=await fetch('/state.json');frame=await r.json();
+ frame.pos=b64f32(frame.pos);frame.speed=b64f32(frame.speed);
+ if(!dist)dist=frame.extent*2.2;
+ document.getElementById('hud').textContent=frame.hud;
+}catch(e){} setTimeout(poll,50);}
+poll();
+function draw(){requestAnimationFrame(draw);if(!frame)return;
+ const w=cv.width,h=cv.height;ctx.fillStyle='#0b0e14';ctx.fillRect(0,0,w,h);
+ const cy=Math.cos(yaw),sy=Math.sin(yaw),cp=Math.cos(pitch),sp=Math.sin(pitch);
+ const f=0.9*Math.min(w,h), c=frame.center, is3d=frame.dim===3;
+ function proj(x,y,z){x-=c[0];y-=c[1];z-=(c[2]||0);
+  let X=cy*x+sy*z, Z=-sy*x+cy*z, Y=cp*y-sp*Z; Z=sp*y+cp*Z;
+  const s=f/(dist+(is3d?Z:0));
+  return [w/2+panX+X*s, h/2+panY-Y*s, s];}
+ // container wireframe (gizmo, fluid_container.rs:93-103)
+ const hx=frame.half[0],hy=frame.half[1],hz=frame.half[2]||0,
+       ca=Math.cos(frame.angle||0),sa=Math.sin(frame.angle||0);
+ const corners=[];
+ for(const ix of[-1,1])for(const iy of[-1,1])for(const iz of(is3d?[-1,1]:[0])){
+  let x=ix*hx,z=iz*hz; const xr=ca*x+sa*z, zr=-sa*x+ca*z;
+  corners.push([frame.center[0]+xr,frame.center[1]+iy*hy,(frame.center[2]||0)+zr]);}
+ ctx.strokeStyle='#31425c';ctx.beginPath();
+ const E=is3d?[[0,1],[0,2],[1,3],[2,3],[4,5],[4,6],[5,7],[6,7],[0,4],[1,5],[2,6],[3,7]]
+             :[[0,1],[0,2],[1,3],[2,3]];
+ for(const[a,b]of E){const p=proj(...corners[a]),q=proj(...corners[b]);
+  ctx.moveTo(p[0],p[1]);ctx.lineTo(q[0],q[1]);}
+ ctx.stroke();
+ const n=frame.speed.length,P=frame.pos,vmax=frame.vmax||1;
+ for(let i=0;i<n;i++){
+  const p=proj(P[i*frame.dim],P[i*frame.dim+1],is3d?P[i*frame.dim+2]:0);
+  const t=Math.min(frame.speed[i]/vmax,1);
+  ctx.fillStyle=`hsl(${200-160*t},90%,${35+40*t}%)`;
+  const r=Math.max(1,p[2]*frame.radius);
+  ctx.fillRect(p[0]-r/2,p[1]-r/2,r,r);}
+}
+draw();
+let drag=null;
+cv.onmousedown=e=>{drag=[e.clientX,e.clientY,e.shiftKey];};
+addEventListener('mouseup',()=>drag=null);
+addEventListener('mousemove',e=>{if(!drag)return;
+ const dx=e.clientX-drag[0],dy=e.clientY-drag[1];
+ if(drag[2]){panX+=dx;panY+=dy;}else{yaw+=dx*0.008;
+  pitch=Math.max(-1.5,Math.min(1.5,pitch+dy*0.008));}
+ drag=[e.clientX,e.clientY,drag[2]];});
+addEventListener('wheel',e=>{dist*=Math.exp(e.deltaY*0.001);});
+addEventListener('keydown',e=>{
+ if(e.key.length===1||e.key==='Escape')
+  fetch('/key?k='+encodeURIComponent(e.key==='Escape'?'p':e.key))
+   .then(r=>r.text()).then(t=>{if(t)document.getElementById('msg').textContent=t;});});
+</script></body></html>"""
+
+
+class ViewerServer:
+    """Steps a Simulation continuously and serves frames + key handling."""
+
+    def __init__(self, sim, host: str = "127.0.0.1", port: int = 8787,
+                 max_points: int = 30000, steps_per_frame: int = 4):
+        self.sim = sim
+        self.steps_per_frame = steps_per_frame
+        self.lock = threading.Lock()
+        n = sim.cfg.n
+        stride = max(1, n // max_points)
+        self.sel = np.arange(0, n, stride)
+        self.frame = {}
+        self._stop = threading.Event()
+
+        viewer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _send(self, body: bytes, ctype: str):
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                url = urlparse(self.path)
+                if url.path == "/":
+                    self._send(_PAGE.encode(), "text/html")
+                elif url.path == "/state.json":
+                    with viewer.lock:
+                        body = viewer.frame.get("json", b"{}")
+                    self._send(body, "application/json")
+                elif url.path == "/key":
+                    k = parse_qs(url.query).get("k", [""])[0]
+                    with viewer.lock:
+                        desc = keymap.apply_key(viewer.sim, k) or ""
+                    self._send(desc.encode(), "text/plain")
+                else:
+                    self.send_error(404)
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.thread = threading.Thread(target=self.httpd.serve_forever,
+                                       daemon=True)
+
+    def _snapshot(self):
+        sim = self.sim
+        pos = np.asarray(sim.state.pos)[self.sel].astype(np.float32)
+        vel = np.asarray(sim.state.vel)[self.sel]
+        speed = np.linalg.norm(vel, axis=1).astype(np.float32)
+        st = sim.stats()
+        c = sim.params.container
+        t = float(sim.state.time)
+        center = np.asarray(c.center + c.velocity * t, np.float32)
+        angle = float(c.angle + c.angular_velocity * t)
+        hud = (f"step {st['step']}  t={st['time']:.2f}s  "
+               f"KE={st['kinetic_energy']:.3g}  "
+               f"{st.get('particle_steps_per_s', 0):,.0f} ps/s  "
+               f"[{sim.phase.value}]\n" + keymap.params_line(sim)
+               + f"\noverflow={int(np.asarray(sim.state.overflow))}")
+        payload = {
+            "dim": int(pos.shape[1]),
+            "pos": base64.b64encode(pos.tobytes()).decode(),
+            "speed": base64.b64encode(speed.tobytes()).decode(),
+            "vmax": float(max(np.percentile(speed, 98), 1e-3)),
+            "center": [float(x) for x in center],
+            "half": [float(x) for x in np.asarray(c.half_size)],
+            "angle": angle,
+            "extent": float(np.max(np.asarray(c.half_size))),
+            "radius": float(sim.params.particle_radius),
+            "hud": hud,
+        }
+        with self.lock:
+            self.frame["json"] = json.dumps(payload).encode()
+
+    def serve(self, max_seconds: float | None = None):
+        """Run the step/snapshot loop (blocking) with the HTTP server in a
+        daemon thread."""
+        self.thread.start()
+        host, port = self.httpd.server_address[:2]
+        print(f"viewer at http://{host}:{port}/  (ctrl-c stops)", flush=True)
+        t0 = time.perf_counter()
+        try:
+            while not self._stop.is_set():
+                # step WITHOUT the lock: params/state updates are atomic
+                # attribute swaps, and holding the lock here starves the
+                # handler threads (CPython locks are not fair). The lock only
+                # guards the frame-bytes swap and keymap application.
+                if self.sim.phase.value != "paused":
+                    self.sim.run(self.steps_per_frame)
+                self._snapshot()
+                time.sleep(0.002)  # yield the GIL to handler threads
+                if max_seconds and time.perf_counter() - t0 > max_seconds:
+                    break
+        except KeyboardInterrupt:
+            pass
+        finally:
+            self.httpd.shutdown()
+        return self.sim
+
+    def stop(self):
+        self._stop.set()
