@@ -21,12 +21,19 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=400)
     ap.add_argument("--scene", default="moving-container-256k")
+    ap.add_argument("--mode", default=None, help="neighbor_mode override")
+    ap.add_argument("--tune", default=None,
+                    help="JSON dict of SimParams overrides, e.g. "
+                         '\'{"viscosity_strength": 0.4}\'')
     args = ap.parse_args()
 
     import water_sandbox_tpu as wst
     from water_sandbox_tpu.ops import hashing
 
-    sim = wst.Simulation.from_scene(args.scene)
+    overrides = {"neighbor_mode": args.mode} if args.mode else {}
+    sim = wst.Simulation.from_scene(args.scene, **overrides)
+    if args.tune:
+        sim.tune(**json.loads(args.tune))
     print(f"n={sim.cfg.n} grid={sim.cfg.grid_dims} cap={sim.cfg.cell_capacity}",
           flush=True)
 

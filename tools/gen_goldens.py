@@ -39,6 +39,7 @@ def stats(name, mode, steps, **kw):
         "bbox_hi": [round(float(x), 5) for x in pos.max(0)],
         "mean_rho": round(float(np.asarray(state.density).mean()), 4),
         "overflow": int(np.asarray(state.overflow)),
+        "overflow_total": float(np.asarray(state.overflow_total)),
     }
 
 

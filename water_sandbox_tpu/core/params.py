@@ -291,6 +291,12 @@ class SimConfig:
     max_run: int = 64            # hash_grid: max contiguous same-hash run walked
     chunk: int = 2048
     dtype: str = "float32"
+    # Exact physics for cell-capacity overflow (ops/rescue.py): up to this
+    # many dropped particles per step get a dense fallback pass, and their
+    # pair contributions are injected back into resident particles. 0
+    # disables (overflow stays dropped-and-counted). Only steps that
+    # actually overflow pay the sweep (lax.cond).
+    rescue_capacity: int = 0
 
     def __post_init__(self):
         if self.dim not in (2, 3):

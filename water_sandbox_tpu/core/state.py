@@ -46,8 +46,12 @@ class FluidState:
     near_pressure: Array  # (n,)
     step_count: Array    # () int32
     time: Array          # () float32
-    overflow: Array      # () int32 — particles dropped from cell buckets by
-    #                      the capacity limit last step (0 = exact physics)
+    overflow: Array      # () int32 — particles not computed last step
+    #                      (bucket overflow beyond the rescue budget;
+    #                      0 = exact physics last step)
+    overflow_total: Array  # () int64-ish f32 — CUMULATIVE dropped-particle
+    #                      steps since init; 0 = every particle got exact
+    #                      physics on every step (golden runs assert this)
 
     @property
     def n(self) -> int:
@@ -84,4 +88,5 @@ def init_state(positions: Array, velocities: Array | None = None) -> FluidState:
         step_count=jnp.zeros((), jnp.int32),
         time=jnp.zeros((), dtype),
         overflow=jnp.zeros((), jnp.int32),
+        overflow_total=jnp.zeros((), jnp.float32),
     )

@@ -90,7 +90,7 @@ def _reference_cube():
     pts = cube_fluid(64, 32, 32)
     cfg = SimConfig(n=pts.shape[0], dim=3,
                     grid_dims=_grid_dims_for((16.0, 9.0, 9.0)),
-                    cell_capacity=24)
+                    cell_capacity=24, rescue_capacity=2048)
     params = SimParams.create(dim=3)
     return cfg, params, init_state(pts)
 
@@ -128,8 +128,10 @@ def _dam_break_2d_4k():
     ni, nj = 50, 80  # 4000 particles, 5 m x 8 m column
     pts = cube_fluid(ni, nj, None, particle_radius=r,
                      center=(-8.0 + ni * r + 0.1, -4.5 + nj * r + 0.1))
+    # cap 24: the settled pool compresses ~1.3x under the soft default EOS
+    # and floor cells exceed 16 (12 particles dropped in a 1k-step run)
     cfg = SimConfig(n=pts.shape[0], dim=2, grid_dims=_grid_dims_for(size),
-                    cell_capacity=16)
+                    cell_capacity=24, rescue_capacity=1024)
     params = SimParams.create(
         dim=2, container=Container.create((0.0, 0.0), size),
         particle_radius=r, viscosity_strength=0.0,
@@ -146,7 +148,7 @@ def _interactive_2d_16k():
     pts = cube_fluid(200, 80, None, particle_radius=r,
                      center=(0.0, -6.0 + 80 * r + 0.1))  # 16,000
     cfg = SimConfig(n=pts.shape[0], dim=2, grid_dims=_grid_dims_for(size),
-                    cell_capacity=16)
+                    cell_capacity=16, rescue_capacity=1024)
     params = SimParams.create(
         dim=2, container=Container.create((0.0, 0.0), size),
         particle_radius=r,
@@ -162,7 +164,7 @@ def _sort_stress_64k():
     pts = cube_fluid(64, 32, 32)
     cfg = SimConfig(n=pts.shape[0], dim=3,
                     grid_dims=_grid_dims_for((16.0, 9.0, 9.0)),
-                    cell_capacity=24, chunk=4096)
+                    cell_capacity=24, chunk=4096, rescue_capacity=2048)
     params = SimParams.create(dim=3)
     return cfg, params, init_state(pts)
 
@@ -173,8 +175,13 @@ def _sort_stress_64k():
 def _moving_container_256k():
     size = (24.0, 14.0, 14.0)
     pts = cube_fluid(102, 51, 51)  # 265,302 — non-power-of-two on purpose
+    # cell_capacity 48: the yawing walls sweep particles into boundary-cell
+    # sheets (measured p99.9 = 39/cell settled at dt=1/120 —
+    # benchmarks/occupancy_256k_results.json); capacity must cover them so
+    # the pressure response pushes pileups apart instead of dropping them.
+    # Occupancy-bounded kernel loops make the unused slots nearly free.
     cfg = SimConfig(n=pts.shape[0], dim=3, grid_dims=_grid_dims_for(size),
-                    cell_capacity=24, chunk=8192)
+                    cell_capacity=48, chunk=8192, rescue_capacity=2048)
     # rest-density target: the fluid settles as water instead of collapsing
     # into a dense pool (the reference's target of 10 is 19x below its own
     # initial density — intentional for its explosive sandbox cube, wrong
@@ -206,7 +213,7 @@ def _sharded_1m():
     size = (32.0, 14.0, 14.0)
     pts = cube_fluid(160, 80, 80)  # 1,024,000
     cfg = SimConfig(n=pts.shape[0], dim=3, grid_dims=_grid_dims_for(size),
-                    cell_capacity=24, chunk=8192)
+                    cell_capacity=48, chunk=8192)
     params = SimParams.create(
         dim=3,
         target_density=lattice_rest_density(0.2, DEFAULT_SMOOTHING_RADIUS, 3),

@@ -315,13 +315,20 @@ def bucket_sph(predicted: Array, vel: Array, params: SimParams,
     """Full bucket-grid SPH: returns per-particle
     (den, nden, prs, nprs, acc, overflow).
 
-    Capacity-overflow particles get rest-density and zero acceleration (they
-    are dropped from the physics this step and counted in overflow).
+    Capacity-overflow handling: with ``cfg.rescue_capacity > 0``, dropped
+    particles get EXACT physics via the dense rescue sweep (ops/rescue.py) —
+    densities are corrected before the force pass (scattered back into the
+    cell planes) and every dropped↔any pair force is added afterwards. The
+    returned ``overflow`` then counts only particles beyond the rescue
+    budget (still dropped, still loud). With rescue disabled, dropped
+    particles get rest-density and zero acceleration and all are counted.
 
     ``constrain``: optional fn applied to every (..., num_cells) cell-layout
     array — the multi-chip GSPMD path (parallel/gspmd.py) passes a
     with_sharding_constraint that shards the cell axis over the mesh; the
     rolls then lower to ICI halo exchanges."""
+    from . import rescue as rescue_mod
+
     grid = build_bucket_grid(predicted, vel, params, cfg)
     if constrain is not None:
         grid = BucketGrid(
@@ -331,6 +338,46 @@ def bucket_sph(predicted: Array, vel: Array, params: SimParams,
             addr=grid.addr, origin=grid.origin, overflow=grid.overflow)
     den_c, nden_c, prs_c, nprs_c = bucket_density_pass(grid, params, coeffs,
                                                        cfg)
+    overflow = grid.overflow
+
+    if cfg.rescue_capacity > 0:
+        cap, nc = cfg.cell_capacity, num_cells(cfg)
+        dropped = grid.addr == cap * nc
+        den = _from_cells(den_c, grid.addr, params.target_density)
+        nden = _from_cells(nden_c, grid.addr, DENSITY_PADDING)
+
+        def with_rescue(den, nden, den_c, nden_c):
+            den, nden, rescued, unrescued = rescue_mod.density_rescue(
+                predicted, dropped, den, nden, params, coeffs, cfg)
+            # corrected densities must be visible to the force pass
+            den_c = den_c.reshape(-1).at[grid.addr].set(
+                den, mode="drop").reshape(cap, nc)
+            nden_c = nden_c.reshape(-1).at[grid.addr].set(
+                nden, mode="drop").reshape(cap, nc)
+            return den, nden, den_c, nden_c, rescued, unrescued
+
+        def no_rescue(den, nden, den_c, nden_c):
+            return (den, nden, den_c, nden_c,
+                    jnp.zeros(dropped.shape, bool), overflow)
+
+        den, nden, den_c, nden_c, rescued, unrescued = jax.lax.cond(
+            overflow > 0, with_rescue, no_rescue, den, nden, den_c, nden_c)
+        prs_c = params.pressure_scalar * (den_c - params.target_density)
+        nprs_c = params.near_pressure_scalar * nden_c
+        prs = params.pressure_scalar * (den - params.target_density)
+        nprs = params.near_pressure_scalar * nden
+
+        acc_c = bucket_force_pass(grid, den_c, nden_c, prs_c, nprs_c, params,
+                                  coeffs, cfg)
+        acc = _from_cells(acc_c, grid.addr, 0.0)
+        acc = jax.lax.cond(
+            overflow > 0,
+            lambda a: rescue_mod.force_rescue(
+                predicted, vel, den, nden, prs, nprs, dropped, a, params,
+                coeffs, cfg),
+            lambda a: a, acc)
+        return den, nden, prs, nprs, acc, unrescued
+
     acc_c = bucket_force_pass(grid, den_c, nden_c, prs_c, nprs_c, params,
                               coeffs, cfg)
     den = _from_cells(den_c, grid.addr, params.target_density)

@@ -89,10 +89,22 @@ def _geometry(cfg: SimConfig):
 def _build_slab_buckets(predicted: Array, vel: Array, params, cfg: SimConfig):
     """Bucket build scattering DIRECTLY into the slab-padded kernel layout
     (column = x·S_pad + y·gz + z, plus PAD ends) — no relayout copies
-    between the build and the kernels. Same algorithm as
-    ops.grid.build_bucket_grid (argsort → cummax slots → unique scatter).
+    between the build and the kernels.
 
-    Returns (pos planes (dim, cap, L), vel planes, mask (cap, L),
+    Cost-shaped by the measured v5e irregular-op tax
+    (benchmarks/micro_tpu_results.json: each gather costs ~13ns per INDEX
+    with multi-feature windows nearly free, each scatter ~14ns per ELEMENT,
+    so the op count is minimized):
+
+    * ONE lax.sort carries the permutation alongside the keys;
+    * ONE (n, 2·dim)-row gather reorders all particle features;
+    * 2·dim scalar scatters place the feature planes (the irreducible
+      per-element scatter cost);
+    * the per-cell occupancy row `counts` replaces the mask PLANE — one
+      scatter-add of n ones instead of a (cap, L) plane, and the kernels
+      derive candidate masks as `slot < counts[col]`.
+
+    Returns (feat planes (2·dim, cap, L): pos then vel, counts (1, L) f32,
     addr_out (n,) into the kernels' un-end-padded output planes,
     overflow ())."""
     from .. import hashing
@@ -113,9 +125,9 @@ def _build_slab_buckets(predicted: Array, vel: Array, params, cfg: SimConfig):
         r = r * gz + cell[:, 2]
     col = cell[:, 0] * S_pad + r                       # slab-strided column
 
-    order = jnp.argsort(col).astype(jnp.int32)
-    sorted_col = jnp.take(col, order)
-    ranks = jnp.arange(n, dtype=jnp.int32)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    sorted_col, order = jax.lax.sort((col, iota), num_keys=1)
+    ranks = iota
     first = jnp.concatenate(
         [jnp.ones((1,), bool), sorted_col[1:] != sorted_col[:-1]])
     run_start = jax.lax.cummax(jnp.where(first, ranks, 0))
@@ -123,16 +135,23 @@ def _build_slab_buckets(predicted: Array, vel: Array, params, cfg: SimConfig):
     ok = slot < cap
     flat = jnp.where(ok, slot * L + PAD + sorted_col, cap * L)
 
-    def scatter(vals, fill):
-        out = jnp.full((cap * L + 1,), fill, dtype)
-        return out.at[flat].set(vals, mode="drop",
-                                unique_indices=True)[:-1].reshape(cap, L)
+    rows = jnp.concatenate([predicted, vel], axis=1)   # (n, 2·dim)
+    srows = jnp.take(rows, order, axis=0)              # ONE gather
 
-    pos_p = jnp.stack([scatter(jnp.take(predicted[:, a], order), _FAR)
-                       for a in range(dim)])
-    vel_p = jnp.stack([scatter(jnp.take(vel[:, a], order), 0.0)
-                       for a in range(dim)])
-    mask_p = scatter(jnp.ones((n,), dtype), 0.0)
+    def scatter(vals):
+        out = jnp.zeros((cap * L + 1,), dtype)
+        return out.at[flat].set(
+            vals, mode="promise_in_bounds",
+            unique_indices=True)[:-1].reshape(cap, L)
+
+    planes = jnp.stack([scatter(srows[:, j]) for j in range(2 * dim)])
+
+    counts = jnp.zeros((1, L), dtype).at[0, PAD + col].add(
+        1.0, mode="promise_in_bounds")
+    # clamp to capacity: dropped particles are NOT in the slot planes, and
+    # an unclamped count would both overrun the slot fori bound and pass
+    # the mask for nonexistent rows
+    counts = jnp.minimum(counts, float(cap))
 
     # address into the kernels' output planes (no PAD ends there)
     out_flat = jnp.where(ok, slot * (gx * S_pad) + sorted_col,
@@ -140,7 +159,7 @@ def _build_slab_buckets(predicted: Array, vel: Array, params, cfg: SimConfig):
     addr_out = jnp.zeros((n,), jnp.int32).at[order].set(out_flat,
                                                         unique_indices=True)
     overflow = (n - jnp.sum(ok)).astype(jnp.int32)
-    return pos_p, vel_p, mask_p, addr_out, overflow
+    return planes, counts, addr_out, overflow
 
 
 def build_local_slab_buckets(pred: Array, vel: Array, active: Array,
@@ -173,57 +192,68 @@ def build_local_slab_buckets(pred: Array, vel: Array, active: Array,
         r = r * gz + jnp.clip(cell[:, 2], 0, gz - 1)
     col = cell_x * S_pad + r
 
-    order = jnp.argsort(jnp.where(active > 0, col, gx_loc * S_pad)
-                        ).astype(jnp.int32)
-    sorted_col = jnp.take(col, order)
-    sorted_active = jnp.take(active, order)
-    ranks = jnp.arange(n, dtype=jnp.int32)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    key = jnp.where(active > 0, col, gx_loc * S_pad)  # inactive sort last
+    sorted_key, order = jax.lax.sort((key, iota), num_keys=1)
+    sorted_active = sorted_key < gx_loc * S_pad
+    ranks = iota
     first = jnp.concatenate(
-        [jnp.ones((1,), bool), sorted_col[1:] != sorted_col[:-1]])
+        [jnp.ones((1,), bool), sorted_key[1:] != sorted_key[:-1]])
     run_start = jax.lax.cummax(jnp.where(first, ranks, 0))
     slot = ranks - run_start
-    ok = (slot < cap) & (sorted_active > 0)
-    flat = jnp.where(ok, slot * L + PAD + sorted_col, cap * L)
+    ok = (slot < cap) & sorted_active
+    flat = jnp.where(ok, slot * L + PAD + sorted_key, cap * L)
 
-    def scatter(vals, fill):
-        out = jnp.full((cap * L + 1,), fill, dtype)
-        return out.at[flat].set(vals, mode="drop",
-                                unique_indices=True)[:-1].reshape(cap, L)
+    rows = jnp.concatenate([pred, vel], axis=1)
+    srows = jnp.take(rows, order, axis=0)
 
-    pos_p = jnp.stack([scatter(jnp.take(pred[:, a], order), _FAR)
-                       for a in range(dim)])
-    vel_p = jnp.stack([scatter(jnp.take(vel[:, a], order), 0.0)
-                       for a in range(dim)])
-    mask_p = scatter(jnp.ones((n,), dtype), 0.0)
+    def scatter(vals):
+        out = jnp.zeros((cap * L + 1,), dtype)
+        return out.at[flat].set(
+            vals, mode="promise_in_bounds",
+            unique_indices=True)[:-1].reshape(cap, L)
 
-    out_flat = jnp.where(ok, slot * (gx_loc * S_pad) + sorted_col,
+    planes = jnp.stack([scatter(srows[:, j]) for j in range(2 * dim)])
+
+    counts = jnp.zeros((1, L), dtype).at[0, PAD + col].add(
+        active, mode="promise_in_bounds")
+    counts = jnp.minimum(counts, float(cap))  # see _build_slab_buckets
+
+    out_flat = jnp.where(ok, slot * (gx_loc * S_pad) + sorted_key,
                          cap * gx_loc * S_pad)
     addr_out = jnp.zeros((n,), jnp.int32).at[order].set(out_flat,
                                                         unique_indices=True)
-    overflow = (jnp.sum(active) - jnp.sum(mask_p)).astype(jnp.int32)
-    return pos_p, vel_p, mask_p, addr_out, overflow
+    overflow = (jnp.sum(active) - jnp.sum(ok)).astype(jnp.int32)
+    return planes, counts, addr_out, overflow
 
 
-def halo_window_occupancy(mask_ext: Array, gx_loc: int, S_pad: int,
+def halo_window_occupancy(counts_ext: Array, gx_loc: int, S_pad: int,
                           PAD: int) -> Array:
-    """Domain-path alias: window_occupancy already counts halo slabs
+    """Domain-path alias: window_occupancy already reads halo counts
     ppermuted into the pad regions (it reads one slab into each pad)."""
-    return window_occupancy(mask_ext, gx_loc, S_pad, PAD)
+    return window_occupancy(counts_ext, gx_loc, S_pad, PAD)
 
 
-def _window_dma(feats_ref, scratch, sems, i, *, S_pad, CL):
-    """Start+wait the three halo-slab copies for slab i. In the padded HBM
-    layout, chunk c's window starts at (i + c)·S_pad — always 128-aligned."""
+def _window_dma(feats_ref, scratch, sems, counts_ref, cnt_scratch, cnt_sems,
+                i, *, S_pad, CL):
+    """Start+wait the three halo-slab copies for slab i (feature planes and
+    the occupancy-counts row). In the padded HBM layout, chunk c's window
+    starts at (i + c)·S_pad — always 128-aligned."""
     copies = []
     for c in range(3):
         start = (i + c) * S_pad
-        cp = pltpu.make_async_copy(
+        copies.append(pltpu.make_async_copy(
             feats_ref.at[:, :, pl.ds(start, CL)],
             scratch.at[:, :, pl.ds(c * CL, CL)],
             sems.at[c],
-        )
+        ))
+        copies.append(pltpu.make_async_copy(
+            counts_ref.at[:, pl.ds(start, CL)],
+            cnt_scratch.at[:, pl.ds(c * CL, CL)],
+            cnt_sems.at[c],
+        ))
+    for cp in copies:
         cp.start()
-        copies.append(cp)
     for cp in copies:
         cp.wait()
 
@@ -266,10 +296,12 @@ def _lane_chunks(S_pad: int):
     return out
 
 
-def _density_kernel(occ_ref, params_ref, feats_ref, out_ref, scratch, sems,
-                    scratch_out, out_sem, *, dim, cap, gz, S_pad, CL):
+def _density_kernel(occ_ref, params_ref, feats_ref, counts_ref, out_ref,
+                    scratch, sems, cnt_scratch, cnt_sems, scratch_out,
+                    out_sem, *, dim, cap, gz, S_pad, CL):
     i = pl.program_id(0)
-    _window_dma(feats_ref, scratch, sems, i, S_pad=S_pad, CL=CL)
+    _window_dma(feats_ref, scratch, sems, counts_ref, cnt_scratch, cnt_sems,
+                i, S_pad=S_pad, CL=CL)
 
     h = params_ref[0, _P_H]
     h2 = h * h
@@ -299,7 +331,11 @@ def _density_kernel(occ_ref, params_ref, feats_ref, out_ref, scratch, sems,
                             d_a = (scratch[a, n, pl.ds(cs, T)][None, :]
                                    - qpos[a])
                             dist2 = dist2 + d_a * d_a
-                        mask_n = scratch[dim, n, pl.ds(cs, T)][None, :]
+                        # slot occupied iff n < counts[col] (the counts row
+                        # replaces a whole mask plane)
+                        mask_n = jnp.where(
+                            cnt_scratch[0, pl.ds(cs, T)][None, :]
+                            > n.astype(jnp.float32), 1.0, 0.0)
                         # self-interaction included, like the reference walk
                         # (simulation.wgsl:162-183)
                         m = jnp.where(dist2 <= h2, mask_n, 0.0)
@@ -329,10 +365,12 @@ def _density_kernel(occ_ref, params_ref, feats_ref, out_ref, scratch, sems,
     cp.wait()
 
 
-def _force_kernel(occ_ref, params_ref, feats_ref, out_ref, scratch, sems,
-                  scratch_out, out_sem, *, dim, cap, gz, S_pad, CL):
+def _force_kernel(occ_ref, params_ref, feats_ref, counts_ref, out_ref,
+                  scratch, sems, cnt_scratch, cnt_sems, scratch_out,
+                  out_sem, *, dim, cap, gz, S_pad, CL):
     i = pl.program_id(0)
-    _window_dma(feats_ref, scratch, sems, i, S_pad=S_pad, CL=CL)
+    _window_dma(feats_ref, scratch, sems, counts_ref, cnt_scratch, cnt_sems,
+                i, S_pad=S_pad, CL=CL)
 
     h = params_ref[0, _P_H]
     h2 = h * h
@@ -348,11 +386,11 @@ def _force_kernel(occ_ref, params_ref, feats_ref, out_ref, scratch, sems,
     npa = params_ref[0, _P_NEAR_PRESSURE] * 0.5
 
     # feats plane layout (bucket_sph below):
-    #   [0:dim) pos | dim mask | [dim+1:2dim+1) vel | 2dim+1 den | 2dim+2 nden
-    MASK = dim
-    VEL = dim + 1
-    DEN = 2 * dim + 1
-    NDEN = 2 * dim + 2
+    #   [0:dim) pos | [dim:2dim) vel | 2dim den | 2dim+1 nden
+    # (candidate masks come from the counts row, not a mask plane)
+    VEL = dim
+    DEN = 2 * dim
+    NDEN = 2 * dim + 1
 
     qs = CL + _M
     Q = _QROWS
@@ -389,7 +427,9 @@ def _force_kernel(occ_ref, params_ref, feats_ref, out_ref, scratch, sems,
                                    - qpos[a])
                             disp.append(d_a)
                             dist2 = dist2 + d_a * d_a
-                        mask_n = scratch[MASK, n, pl.ds(cs, T)][None, :]
+                        mask_n = jnp.where(
+                            cnt_scratch[0, pl.ds(cs, T)][None, :]
+                            > n.astype(jnp.float32), 1.0, 0.0)
                         m = jnp.where(dist2 <= h2, mask_n, 0.0)
                         if is_center:
                             # skip the self pair (simulation.wgsl:231-233)
@@ -468,20 +508,19 @@ def _param_vector(params: SimParams, coeffs: KernelCoeffs) -> Array:
     return v
 
 
-def window_occupancy(mask_plane: Array, gx: int, S_pad: int,
+def window_occupancy(counts: Array, gx: int, S_pad: int,
                      PAD: int) -> Array:
     """Per-(slab, lane-chunk) max cell occupancy over the 3-slab × ±_M-lane
     window — the runtime bound for the candidate-slot loops. Pure
     reductions, no scatters. Lane chunking means empty air above a settled
     pool is skipped even inside occupied slabs.
 
-    mask_plane: (cap, L) slab-padded layout. The span read includes one
-    slab's worth of the PAD regions, so halo slabs ppermuted into the pads
-    by the domain-decomposed step (parallel/domain.py) are counted too
-    (single-chip builds leave the pads zero-masked). Returns (gx, NYC)
-    int32."""
-    counts = jnp.sum(mask_plane, axis=0)
-    span = counts[PAD - S_pad:PAD + (gx + 1) * S_pad]
+    counts: (1, L) per-cell occupancy row in the slab-padded layout. The
+    span read includes one slab's worth of the PAD regions, so halo counts
+    ppermuted into the pads by the domain-decomposed step
+    (parallel/domain.py) are included too (single-chip builds leave the
+    pads zero). Returns (gx, NYC) int32."""
+    span = counts[0, PAD - S_pad:PAD + (gx + 1) * S_pad]
     c2 = span.reshape(gx + 2, S_pad)
     # lane margins: a chunk's candidates reach ±(gz+1) ≤ _M lanes, which at
     # slab edges live in the adjacent slab's rows
@@ -496,8 +535,8 @@ def window_occupancy(mask_plane: Array, gx: int, S_pad: int,
     return jnp.ceil(occ).astype(jnp.int32)
 
 
-def _run_pass(kernel_body, feats: Array, occ_win: Array, params_vec: Array,
-              cfg: SimConfig, n_out: int, interpret: bool):
+def _run_pass(kernel_body, feats: Array, counts: Array, occ_win: Array,
+              params_vec: Array, cfg: SimConfig, n_out: int, interpret: bool):
     gx, gy, gz, S, S_pad, CL, PAD = _geometry(cfg)
     dim, cap = cfg.dim, cfg.cell_capacity
     if cap % _QROWS:
@@ -517,10 +556,13 @@ def _run_pass(kernel_body, feats: Array, occ_win: Array, params_vec: Array,
             pl.BlockSpec((1, 16), lambda i, *_: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
             pltpu.VMEM((F, cap, 3 * CL), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((1, 3 * CL), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
             pltpu.VMEM((n_out, cap, S_pad), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
@@ -537,7 +579,7 @@ def _run_pass(kernel_body, feats: Array, occ_win: Array, params_vec: Array,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(2 * window_bytes + 8 * 2**20, 128 * 2**20)),
         interpret=interpret,
-    )(occ_win, params_vec, feats)
+    )(occ_win, params_vec, feats, counts)
     return out
 
 
@@ -554,41 +596,84 @@ def bucket_sph(predicted: Array, vel: Array, params: SimParams,
     dim = cfg.dim
     gx, gy, gz, S, S_pad, CL, PAD = _geometry(cfg)
 
-    pos_p, vel_p, mask_p, addr_out, overflow = _build_slab_buckets(
+    planes, counts, addr_out, overflow = _build_slab_buckets(
         predicted, vel, params, cfg)
     params_vec = _param_vector(params, coeffs)
-    occ_win = window_occupancy(mask_p, gx, S_pad, PAD)
+    occ_win = window_occupancy(counts, gx, S_pad, PAD)
 
-    # density pass: planes [pos | mask] → (den, nden); pressures are
-    # EOS-affine in the densities, derived per row inside the force kernel
-    # and per particle after the gather-back — never materialized as planes
-    feats_d = jnp.concatenate([pos_p, mask_p[None]], axis=0)
-    dens = _run_pass(_density_kernel, feats_d, occ_win, params_vec, cfg, 2,
-                     interpret)
-    den_c, nden_c = dens[0], dens[1]
+    # density pass: planes [pos] → (den, nden); pressures are EOS-affine in
+    # the densities, derived per row inside the force kernel and per
+    # particle after the gather-back — never materialized as planes
+    dens = _run_pass(_density_kernel, planes[:dim], counts, occ_win,
+                     params_vec, cfg, 2, interpret)
 
-    # force pass: planes [pos | mask | vel | den | nden]; density outputs
-    # lack the PAD ends — restore them with a zero pad (the end cells are
-    # empty, their values never pass the mask)
+    if cfg.rescue_capacity > 0:
+        # exact overflow rescue (ops/rescue.py): correct densities BEFORE
+        # the force pass (scattered back into the planes), add pair-force
+        # corrections after. Only overflowing steps pay the sweep.
+        from .. import rescue as rescue_mod
+
+        sentinel = cfg.cell_capacity * gx * S_pad
+        dropped = addr_out == sentinel
+        dfills = jnp.asarray([params.target_density, DENSITY_PADDING],
+                             dens.dtype)
+        dflat = jnp.concatenate(
+            [dens.reshape(2, -1), dfills[:, None]], axis=1)
+        den, nden = dflat[0, addr_out], dflat[1, addr_out]
+
+        def with_rescue(den, nden, dens):
+            den, nden, rescued, unrescued = rescue_mod.density_rescue(
+                predicted, dropped, den, nden, params, coeffs, cfg)
+            flat = dens.reshape(2, -1)
+            flat = flat.at[0, addr_out].set(den, mode="drop")
+            flat = flat.at[1, addr_out].set(nden, mode="drop")
+            return den, nden, flat.reshape(dens.shape), unrescued
+
+        den, nden, dens, unrescued = jax.lax.cond(
+            overflow > 0, with_rescue,
+            lambda den, nden, dens: (den, nden, dens, overflow),
+            den, nden, dens)
+        prs = params.pressure_scalar * (den - params.target_density)
+        nprs = params.near_pressure_scalar * nden
+
+        dens_padded = jnp.pad(dens, ((0, 0), (0, 0), (PAD, PAD)))
+        feats_f = jnp.concatenate([planes, dens_padded], axis=0)
+        acc_c = _run_pass(_force_kernel, feats_f, counts, occ_win,
+                          params_vec, cfg, dim, interpret)
+        aflat = jnp.concatenate(
+            [acc_c.reshape(dim, -1),
+             jnp.zeros((dim, 1), acc_c.dtype)], axis=1)
+        acc = aflat[:, addr_out].T
+        acc = jax.lax.cond(
+            overflow > 0,
+            lambda a: rescue_mod.force_rescue(
+                predicted, vel, den, nden, prs, nprs, dropped, a, params,
+                coeffs, cfg),
+            lambda a: a, acc)
+        return den, nden, prs, nprs, acc, unrescued
+
+    # force pass: planes [pos | vel | den | nden]; density outputs lack the
+    # PAD ends — restore them with a zero pad (the end cells are empty,
+    # their values never pass the counts mask)
     dens_padded = jnp.pad(dens, ((0, 0), (0, 0), (PAD, PAD)))
-    feats_f = jnp.concatenate([pos_p, mask_p[None], vel_p, dens_padded],
-                              axis=0)
-    acc_c = _run_pass(_force_kernel, feats_f, occ_win, params_vec, cfg, dim,
-                      interpret)
+    feats_f = jnp.concatenate([planes, dens_padded], axis=0)
+    acc_c = _run_pass(_force_kernel, feats_f, counts, occ_win, params_vec,
+                      cfg, dim, interpret)
 
-    def gather(plane, fill):
-        if plane.ndim == 2:
-            flat = plane.reshape(-1)
-            flat = jnp.concatenate([flat, jnp.full((1,), fill, flat.dtype)])
-            return jnp.take(flat, addr_out)
-        return jnp.stack([gather(plane[a], fill)
-                          for a in range(plane.shape[0])], axis=-1)
-
-    den = gather(den_c, params.target_density)
-    nden = gather(nden_c, DENSITY_PADDING)
+    # ONE multi-feature gather brings all results back to particle order:
+    # gather cost on v5e is per-index (~13ns), nearly independent of the
+    # (F, 1) window width (benchmarks/micro2_tpu_results.json), so stacking
+    # den/nden/acc into one plane array is ~dim+1 gathers saved
+    fills = jnp.asarray(
+        [params.target_density, DENSITY_PADDING] + [0.0] * dim,
+        dens.dtype)
+    stacked = jnp.concatenate([dens, acc_c], axis=0).reshape(2 + dim, -1)
+    stacked = jnp.concatenate([stacked, fills[:, None]], axis=1)
+    out = stacked[:, addr_out]                       # (2+dim, n)
+    den, nden = out[0], out[1]
+    acc = out[2:].T
     # pressures are pure EOS of the densities — recompute per particle
     # instead of two more bucket-plane gathers
     prs = params.pressure_scalar * (den - params.target_density)
     nprs = params.near_pressure_scalar * nden
-    acc = gather(acc_c, 0.0)
     return den, nden, prs, nprs, acc, overflow

@@ -75,6 +75,7 @@ def step(state: FluidState, params: SimParams, cfg: SimConfig,
         step_count=state.step_count + 1,
         time=t_new,
         overflow=overflow,
+        overflow_total=state.overflow_total + overflow.astype(jnp.float32),
     )
 
 

@@ -101,6 +101,7 @@ def shard_state(state: FluidState, mesh: Mesh, cfg: SimConfig,
         step_count=state.step_count,
         time=state.time,
         overflow=state.overflow,
+        overflow_total=state.overflow_total,
     )
     axis = mesh.axis_names[0]
 
@@ -276,38 +277,37 @@ def _sph_local_pallas(pred, vel, active, params, coeffs, cfg, gx_loc, axis,
         cfg, grid_dims=(gx_loc,) + cfg.grid_dims[1:])
     _, _, _, S, S_pad, CL, PAD = sb._geometry(cfg_loc)
 
-    pos_p, vel_p, mask_p, addr_out, overflow = sb.build_local_slab_buckets(
+    planes, counts, addr_out, overflow = sb.build_local_slab_buckets(
         pred, vel, active, origin, gx_loc, me, params, cfg_loc)
 
-    # one exchange carries pos+mask+vel boundary slabs
-    feats = jnp.concatenate([pos_p, mask_p[None], vel_p], axis=0)
-    feats = _exchange_halo_slabs(feats, gx_loc, S_pad, PAD, axis)
-    occ_win = sb.halo_window_occupancy(feats[dim], gx_loc, S_pad, PAD)
+    # one exchange carries the pos+vel boundary slabs; the counts row rides
+    # in a second (1, 1, L) exchange
+    feats = _exchange_halo_slabs(planes, gx_loc, S_pad, PAD, axis)
+    counts = _exchange_halo_slabs(counts[None], gx_loc, S_pad, PAD,
+                                  axis)[0]
+    occ_win = sb.halo_window_occupancy(counts, gx_loc, S_pad, PAD)
     pv = sb._param_vector(params, coeffs)
 
-    dens = sb._run_pass(sb._density_kernel, feats[:dim + 1], occ_win, pv,
-                        cfg_loc, 2, interpret)
+    dens = sb._run_pass(sb._density_kernel, feats[:dim], counts, occ_win,
+                        pv, cfg_loc, 2, interpret)
     # halo densities are the neighbors' locally-exact results
     dens_p = jnp.pad(dens, ((0, 0), (0, 0), (PAD, PAD)))
     dens_p = _exchange_halo_slabs(dens_p, gx_loc, S_pad, PAD, axis)
 
     feats_f = jnp.concatenate([feats, dens_p], axis=0)
-    acc_p = sb._run_pass(sb._force_kernel, feats_f, occ_win, pv, cfg_loc,
-                         dim, interpret)
+    acc_p = sb._run_pass(sb._force_kernel, feats_f, counts, occ_win, pv,
+                         cfg_loc, dim, interpret)
 
-    def gather(plane, fill):
-        if plane.ndim == 2:
-            flat = plane.reshape(-1)
-            flat = jnp.concatenate([flat, jnp.full((1,), fill, flat.dtype)])
-            return jnp.take(flat, addr_out)
-        return jnp.stack([gather(plane[a], fill)
-                          for a in range(plane.shape[0])], axis=-1)
-
-    den = gather(dens[0], params.target_density)
-    nden = gather(dens[1], DENSITY_PADDING)
+    # one multi-feature gather back to particle order (see bucket_sph)
+    fills = jnp.asarray(
+        [params.target_density, DENSITY_PADDING] + [0.0] * dim, dens.dtype)
+    stacked = jnp.concatenate([dens, acc_p], axis=0).reshape(2 + dim, -1)
+    stacked = jnp.concatenate([stacked, fills[:, None]], axis=1)
+    out = stacked[:, addr_out]
+    den, nden = out[0], out[1]
+    acc = out[2:].T
     prs = params.pressure_scalar * (den - params.target_density)
     nprs = params.near_pressure_scalar * nden
-    acc = gather(acc_p, 0.0)
     return den, nden, prs, nprs, acc, overflow
 
 
@@ -414,7 +414,7 @@ def make_domain_step(mesh: Mesh, cfg: SimConfig, mig_cap: int = 256,
     state_spec = FluidState(
         pos=row2, vel=row2, predicted=row2, acc=row2, density=row,
         near_density=row, pressure=row, near_pressure=row,
-        step_count=P(), time=P(), overflow=P())
+        step_count=P(), time=P(), overflow=P(), overflow_total=P())
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(state_spec, row, P()),
@@ -442,7 +442,9 @@ def make_domain_step(mesh: Mesh, cfg: SimConfig, mig_cap: int = 256,
             pos=pos, vel=vel, predicted=predicted, acc=acc,
             density=den, near_density=nden, pressure=prs, near_pressure=nprs,
             step_count=state.step_count + 1, time=t_new,
-            overflow=jax.lax.psum(overflow, axis))
+            overflow=jax.lax.psum(overflow, axis),
+            overflow_total=state.overflow_total
+            + jax.lax.psum(overflow, axis).astype(jnp.float32))
         state, active, lost = _migrate(state, active, params, cfg, gx_loc,
                                        axis, mig_cap)
         lost_total = jax.lax.psum(lost, axis)

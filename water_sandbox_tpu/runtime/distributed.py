@@ -106,7 +106,8 @@ class DistributedSimulation:
             near_pressure=take(s.near_pressure),
             step_count=jnp.asarray(jax.device_get(s.step_count)),
             time=jnp.asarray(jax.device_get(s.time)),
-            overflow=jnp.asarray(jax.device_get(s.overflow)))
+            overflow=jnp.asarray(jax.device_get(s.overflow)),
+            overflow_total=jnp.asarray(jax.device_get(s.overflow_total)))
 
     def stats(self) -> dict:
         pos, vel = self.particles()
