@@ -4,6 +4,12 @@ Metric per BASELINE.json: particle-steps/sec/chip at 256k particles.
 vs_baseline is against the reference's implied throughput (65,536 particles
 x 60 Hz = 3.93M particle-steps/s if it holds 60 FPS — BASELINE.md; the
 reference publishes no measured numbers).
+
+Honest measurement (VERDICT r1 item 4): the timed window runs from a
+SETTLED state, not the freshly-laid lattice — the scene is settled with the
+same compiled 50-step rollout program that is then timed (so the warmup
+compiles exactly the measured program), and the transient rate is reported
+alongside in the metric detail.
 """
 
 import json
@@ -19,24 +25,41 @@ def main():
     from water_sandbox_tpu.ops.step import rollout
 
     scene = os.environ.get("WST_BENCH_SCENE", "moving-container-256k")
-    steps = int(os.environ.get("WST_BENCH_STEPS", "10"))
+    chunk = int(os.environ.get("WST_BENCH_STEPS", "50"))
+    settle = int(os.environ.get("WST_BENCH_SETTLE", "400"))
     mode = os.environ.get("WST_BENCH_MODE", "pallas")
 
     sim = Simulation.from_scene(scene, neighbor_mode=mode)
-    # warmup with the SAME static step count — a different scan length is a
-    # different program and the measurement would include its compile
-    sim.state = rollout(sim.state, sim.params, sim.cfg, steps)
-    np.asarray(sim.state.pos)  # hard sync
 
+    def sync():
+        np.asarray(sim.state.pos)  # block_until_ready is unreliable here
+
+    # first chunk: compile + transient window
+    sim.state = rollout(sim.state, sim.params, sim.cfg, chunk)
+    sync()
     t0 = time.perf_counter()
-    sim.state = rollout(sim.state, sim.params, sim.cfg, steps)
-    np.asarray(sim.state.pos)  # hard sync through the device queue
-    wall = time.perf_counter() - t0
+    sim.state = rollout(sim.state, sim.params, sim.cfg, chunk)
+    sync()
+    transient_rate = chunk * sim.cfg.n / (time.perf_counter() - t0)
 
-    rate = steps * sim.cfg.n / wall
+    # settle with the same program (tunnel limits long single rollouts)
+    done = 2 * chunk
+    while done < settle:
+        sim.state = rollout(sim.state, sim.params, sim.cfg, chunk)
+        done += chunk
+    sync()
+
+    # settled window
+    t0 = time.perf_counter()
+    sim.state = rollout(sim.state, sim.params, sim.cfg, chunk)
+    sync()
+    wall = time.perf_counter() - t0
+    rate = chunk * sim.cfg.n / wall
+
     baseline = 65536 * 60.0  # reference implied particle-steps/s
     print(json.dumps({
-        "metric": f"particle-steps/sec/chip ({scene}, n={sim.cfg.n})",
+        "metric": (f"particle-steps/sec/chip ({scene}, n={sim.cfg.n}, "
+                   f"settled@{done}; transient={transient_rate:.3g})"),
         "value": round(rate, 1),
         "unit": "particle-steps/s",
         "vs_baseline": round(rate / baseline, 3),

@@ -30,8 +30,8 @@ slow = pytest.mark.skipif(not os.environ.get("WST_SLOW"),
 GOLDEN = {
     # -- fast pins (default suite) ------------------------------------------
     ("dam-break-2d-4k", "bucket_grid", 40): dict(
-        com=[-5.38943, -2.26851], ke=69894.0, mean_rho=159.5193,
-        kw=dict(grid_dims=(24, 24), chunk=512)),
+        com=[-5.38959, -2.26117], ke=67018.78, mean_rho=200.864,
+        bbox_lo=[-7.95, -4.45], bbox_hi=[-1.99916, 1.46529]),
     ("mini-3d", "dense", 60): dict(
         com=[0.0, -3.79511, 0.0], ke=10585.86,
         bbox_lo=[-2.28083, -4.4, -2.28083],
@@ -59,13 +59,13 @@ GOLDEN = {
         bbox_lo=[-7.95, -4.45], bbox_hi=[7.95, -2.85276],
         mean_rho=214.1837, marks=slow),
     ("dam-break-2d-4k", "bucket_grid", 1000): dict(
-        com=[-0.15657, -3.85676], ke=7909.38,
-        bbox_lo=[-7.95, -4.45], bbox_hi=[7.95, -2.51497],
-        mean_rho=186.3379, marks=slow),
+        com=[-0.07213, -3.8838], ke=8483.95,
+        bbox_lo=[-7.95, -4.45], bbox_hi=[7.95, -2.74188],
+        mean_rho=195.7284, marks=slow),
     ("dam-break-2d-4k", "pallas", 200): dict(
-        com=[-2.56325, -2.9702], ke=65452.55,
-        bbox_lo=[-7.95, -4.45], bbox_hi=[7.95, -0.10218],
-        mean_rho=132.6652, marks=slow),
+        com=[-2.38867, -2.93723], ke=59937.56,
+        bbox_lo=[-7.95, -4.45], bbox_hi=[7.95, -0.05156],
+        mean_rho=128.0546, marks=slow),
 }
 
 
