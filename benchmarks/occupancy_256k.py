@@ -25,12 +25,20 @@ def main():
     ap.add_argument("--tune", default=None,
                     help="JSON dict of SimParams overrides, e.g. "
                          '\'{"viscosity_strength": 0.4}\'')
+    ap.add_argument("--rescue", type=int, default=None,
+                    help="rescue_capacity override")
+    ap.add_argument("--cap", type=int, default=None,
+                    help="cell_capacity override")
     args = ap.parse_args()
 
     import water_sandbox_tpu as wst
     from water_sandbox_tpu.ops import hashing
 
     overrides = {"neighbor_mode": args.mode} if args.mode else {}
+    if args.rescue is not None:
+        overrides["rescue_capacity"] = args.rescue
+    if args.cap is not None:
+        overrides["cell_capacity"] = args.cap
     sim = wst.Simulation.from_scene(args.scene, **overrides)
     if args.tune:
         sim.tune(**json.loads(args.tune))
@@ -76,7 +84,9 @@ def main():
         sim.run(min(50, args.steps - done))
         done += 50
         np.asarray(sim.state.pos)
-        print(f"step {done} ke={float(0.5*jnp.sum(sim.state.vel**2)):.1f}",
+        print(f"step {done} ke={float(0.5*jnp.sum(sim.state.vel**2)):.1f} "
+              f"unrescued_now={int(sim.state.overflow)} "
+              f"dropped_total={float(sim.state.overflow_total):.0f}",
               flush=True)
     results.append(occupancy_hist("settled"))
 

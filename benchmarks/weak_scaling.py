@@ -82,7 +82,8 @@ def main():
             pressure_scalar=500.0)
 
         mesh = Mesh(np.asarray(jax.devices()[:ndev]), ("x",))
-        sim = DistributedSimulation(cfg, params, init_state(pts), mesh=mesh)
+        sim = DistributedSimulation(cfg, params, init_state(pts), mesh=mesh,
+                                    slack=3.0)
         sim.run(2)  # warm both chunk programs
         np.asarray(sim.state.pos)
         t0 = time.perf_counter()

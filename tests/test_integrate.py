@@ -126,3 +126,28 @@ def test_static_container_zero_motion_reduces_to_reference():
     exp_vel = np.where(hit, np.asarray(vel) * -0.95, np.asarray(vel))
     np.testing.assert_allclose(np.asarray(new_pos), exp_pos, atol=1e-5)
     np.testing.assert_allclose(np.asarray(new_vel), exp_vel, atol=1e-5)
+
+
+def test_max_speed_limiter():
+    """params.max_speed clamps runaway velocities; 0 disables (default)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from water_sandbox_tpu.core.params import SimParams
+    from water_sandbox_tpu.ops.integrate import integrate
+
+    pos = jnp.zeros((3, 3))
+    vel = jnp.asarray([[100.0, 0, 0], [0, 1.0, 0], [3.0, 4.0, 0]])
+    acc = jnp.zeros((3, 3))
+    p_off = SimParams.create(dim=3, gravity=(0, 0, 0))
+    p_on = SimParams.create(dim=3, gravity=(0, 0, 0), max_speed=5.0)
+    t = jnp.asarray(0.0)
+
+    _, v_off, _ = integrate(pos, vel, acc, p_off, t)
+    np.testing.assert_allclose(v_off, vel, rtol=1e-6)
+
+    _, v_on, _ = integrate(pos, vel, acc, p_on, t)
+    speeds = np.linalg.norm(np.asarray(v_on), axis=1)
+    np.testing.assert_allclose(speeds, [5.0, 1.0, 5.0], rtol=1e-5)
+    # direction preserved
+    np.testing.assert_allclose(np.asarray(v_on[0]) / 5.0, [1, 0, 0],
+                               atol=1e-6)

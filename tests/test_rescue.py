@@ -61,6 +61,9 @@ def test_rescue_matches_dense_oracle(crowded):
 
 
 def test_rescue_budget_exceeded_is_counted(crowded):
+    """Beyond-budget overflow must stay counted AND harmless: pairs touching
+    unrescued particles are excluded from the sweep (their fill densities
+    would otherwise amplify forces ~1e5x — the round-2 detonation bug)."""
     state, params = crowded
     cfg = SimConfig(n=state.n, dim=2, neighbor_mode="bucket_grid",
                     grid_dims=(40, 40), cell_capacity=2,
@@ -69,6 +72,17 @@ def test_rescue_budget_exceeded_is_counted(crowded):
     assert int(unrescued) > 0          # budget deliberately too small
     assert np.isfinite(np.asarray(den)).all()
     assert np.isfinite(np.asarray(acc)).all()
+
+    # accelerations must stay at the physical scale of the rescue-disabled
+    # pipeline — not orders of magnitude above it
+    cfg0 = dataclasses.replace(cfg, rescue_capacity=0)
+    *_, acc0, _ = _fields(state, params, cfg0)
+    a_max = float(np.linalg.norm(np.asarray(acc), axis=1).max())
+    a0_max = float(np.linalg.norm(np.asarray(acc0), axis=1).max())
+    dmax = float(np.asarray(den).max())
+    d0max = float(np.asarray(_dense_fields(state, params, cfg)[0]).max())
+    assert a_max < 20 * max(a0_max, 1.0), (a_max, a0_max)
+    assert dmax < 2 * d0max + 100.0
 
 
 def test_pallas_rescue_matches_dense_oracle(crowded):

@@ -159,6 +159,12 @@ class SimParams:
     lookahead: Array
     particle_radius: Array
     gravity: Array               # (dim,)
+    # Optional speed limiter (0 = off, the reference-faithful default): an
+    # explicit integrator can overshoot catastrophically when geometry
+    # compresses particles into overlap (e.g. a fast-swept container wall
+    # plowing transonically vs the EOS sound speed sqrt(k)); clamping |v|
+    # bounds the damage to one cell per step instead of a NaN cascade.
+    max_speed: Array
     container: Container
     field: InteractionField
 
@@ -174,6 +180,7 @@ class SimParams:
         viscosity_strength: float = DEFAULT_VISCOSITY_STRENGTH,
         lookahead: float = DEFAULT_LOOKAHEAD,
         particle_radius: float = DEFAULT_PARTICLE_RADIUS,
+        max_speed: float = 0.0,
         gravity=None,
         container: Container | None = None,
         field: InteractionField | None = None,
@@ -199,6 +206,7 @@ class SimParams:
             viscosity_strength=as_scalar(viscosity_strength),
             lookahead=as_scalar(lookahead),
             particle_radius=as_scalar(particle_radius),
+            max_speed=as_scalar(max_speed),
             gravity=gravity,
             container=container,
             field=field,

@@ -173,33 +173,27 @@ def _sort_stress_64k():
           "BASELINE config 4: 256k particles with a translating+yawing "
           "container (NEW feature — reference container is static)")
 def _moving_container_256k():
-    size = (24.0, 14.0, 14.0)
-    pts = cube_fluid(102, 51, 51)  # 265,302 — non-power-of-two on purpose
-    # cell_capacity 48: the yawing walls sweep particles into boundary-cell
-    # sheets (measured p99.9 = 39/cell settled at dt=1/120 —
-    # benchmarks/occupancy_256k_results.json); capacity must cover them so
-    # the pressure response pushes pileups apart instead of dropping them.
-    # Occupancy-bounded kernel loops make the unused slots nearly free.
+    """Reference-faithful physics at 4x the particle count.
+
+    Scene-design notes (hard-won; benchmarks/occupancy_256k_results.json):
+    the reference's EOS (k=22) is an isothermal gas with pressure scale
+    height k/g ~ 2.2 m, so pool depth sets the bottom-cell compression
+    exp(depth/2.2). The reference's own pool is ~3.6 m deep (65k particles
+    over a 16x9 footprint -> ~5x compression); a deep-pool 256k variant
+    compresses 80x and NO fixed cell capacity can hold it. Stiffening the
+    EOS instead (k=800, target = lattice rest) bounds compression but puts
+    free surfaces in strong tension -> the box fills with 10 m/s mist.
+    The honest scaling is the reference's own geometry: a shallow wide
+    pool (~4.4 m deep here) with the reference's exact solver constants,
+    including dt = 1/60."""
+    size = (40.0, 10.0, 14.0)
+    pts = cube_fluid(198, 24, 56, center=(0.0, -2.0, 0.0))  # 266,112
+    # cap 32: the trailing wall + yaw sweep pile corner cells to ~30
+    # particles; rescue (exact dense fallback) covers transients beyond it
     cfg = SimConfig(n=pts.shape[0], dim=3, grid_dims=_grid_dims_for(size),
-                    cell_capacity=48, chunk=8192, rescue_capacity=2048)
-    # rest-density target: the fluid settles as water instead of collapsing
-    # into a dense pool (the reference's target of 10 is 19x below its own
-    # initial density — intentional for its explosive sandbox cube, wrong
-    # for a production scene; occupancy stays near the lattice's 8/cell)
+                    cell_capacity=32, chunk=8192, rescue_capacity=16384)
     params = SimParams.create(
         dim=3,
-        target_density=lattice_rest_density(0.2, DEFAULT_SMOOTHING_RADIUS, 3),
-        # stiff enough that the settled pool stays near rest density under
-        # its own weight (k=22 at this density scale allows ~2-3x
-        # hydrostatic compression and overflows the cell buckets)
-        pressure_scalar=800.0,
-        # CFL: the EOS sound speed is c ~ sqrt(k) ~ 28 m/s, so dt must keep
-        # c*dt < h = 0.25. The reference's 1/60 violates it ~2x at this
-        # stiffness (measured: KE grows without bound and wall pileups
-        # reach 80 particles/cell — benchmarks/occupancy_256k_results.json);
-        # 1/120 is stable. Two sim steps per 60 Hz frame, standard SPH
-        # sub-stepping.
-        dt=1.0 / 120.0,
         container=Container.create((0.0, 0.0, 0.0), size,
                                    velocity=(0.5, 0.0, 0.0),
                                    angular_velocity=0.1))
@@ -210,15 +204,14 @@ def _moving_container_256k():
           "BASELINE config 5: ~1M particles for multi-chip domain "
           "decomposition (parallel/domain.py)")
 def _sharded_1m():
-    size = (32.0, 14.0, 14.0)
-    pts = cube_fluid(160, 80, 80)  # 1,024,000
-    cfg = SimConfig(n=pts.shape[0], dim=3, grid_dims=_grid_dims_for(size),
-                    cell_capacity=48, chunk=8192)
+    # shallow-pool geometry for bounded occupancy at the reference EOS
+    # (see moving-container-256k); grid x = 408 divides by 8 for the mesh
+    size = (100.0, 10.0, 18.0)
+    pts = cube_fluid(498, 24, 85, center=(0.0, -2.0, 0.0))  # 1,015,920
+    cfg = SimConfig(n=pts.shape[0], dim=3, grid_dims=(408, 44, 76),
+                    cell_capacity=24, chunk=8192, rescue_capacity=8192)
     params = SimParams.create(
         dim=3,
-        target_density=lattice_rest_density(0.2, DEFAULT_SMOOTHING_RADIUS, 3),
-        pressure_scalar=800.0,
-        dt=1.0 / 120.0,  # CFL at k=800 — see moving-container-256k
         container=Container.create((0.0, 0.0, 0.0), size))
     return cfg, params, init_state(pts)
 

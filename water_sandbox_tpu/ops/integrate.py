@@ -37,12 +37,26 @@ def field_acceleration(pos: Array, field: InteractionField) -> Array:
     return outward * (field.strength * falloff)[:, None]
 
 
-def _yaw_matrix(angle: Array, dim: int, dtype) -> Array:
+def _rotate_yaw(x: Array, angle: Array, inverse: bool = False) -> Array:
+    """Apply the yaw rotation (about +z in 2-D, +y in 3-D) to (n, dim) rows
+    with explicit multiply-adds.
+
+    NEVER use `@`/matmul here: on TPU a default-precision matmul runs on the
+    MXU with bf16 inputs, which rounds every position to bf16 each step —
+    particles collapse onto a 2^-8-relative grid, coincident pairs form
+    (absorbing states under the d==0 +y fallback, wgsl:243-248), local
+    density ratchets up and the simulation detonates. Found the hard way at
+    step ~60 of the 256k scene; the elementwise form stays on the VPU in
+    full float32 (and is faster than an MXU dispatch for a 3x3 anyway)."""
     c, s = jnp.cos(angle), jnp.sin(angle)
-    if dim == 2:  # rotate about +z
-        return jnp.array([[c, -s], [s, c]], dtype)
-    # rotate about +y (3-D yaw)
-    return jnp.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]], dtype)
+    if inverse:
+        s = -s
+    if x.shape[-1] == 2:
+        return jnp.stack([c * x[:, 0] - s * x[:, 1],
+                          s * x[:, 0] + c * x[:, 1]], axis=1)
+    return jnp.stack([c * x[:, 0] + s * x[:, 2],
+                      x[:, 1],
+                      -s * x[:, 0] + c * x[:, 2]], axis=1)
 
 
 def container_at(container: Container, t: Array):
@@ -56,9 +70,7 @@ def collide_container(pos: Array, vel: Array, container: Container,
     """Per-axis clamp + velocity flip (simulation.wgsl:284-306), generalized
     to a box posed at time t. Returns (pos, vel)."""
     dim = pos.shape[1]
-    dtype = pos.dtype
     center, angle = container_at(container, t)
-    rot = _yaw_matrix(angle, dim, dtype)
 
     # Wall velocity at each particle (translation + spin), for relative
     # reflection. Zero for a static container.
@@ -71,9 +83,10 @@ def collide_container(pos: Array, vel: Array, container: Container,
             [rel[:, 2], jnp.zeros_like(rel[:, 0]), -rel[:, 0]], axis=1)
     wall_vel = container.velocity[None, :] + spin
 
-    # Into the local frame.
-    local_pos = rel @ rot  # R^T p  (rot columns are world axes of the box)
-    local_vel = (vel - wall_vel) @ rot
+    # Into the local frame (elementwise rotation — see _rotate_yaw for why
+    # this must never be a matmul).
+    local_pos = _rotate_yaw(rel, angle, inverse=True)
+    local_vel = _rotate_yaw(vel - wall_vel, angle, inverse=True)
 
     lo = -container.half_size + padding
     hi = container.half_size - padding
@@ -83,8 +96,8 @@ def collide_container(pos: Array, vel: Array, container: Container,
     local_pos = jnp.clip(local_pos, lo[None, :], hi[None, :])
     local_vel = jnp.where(hit, local_vel * (-damping), local_vel)
 
-    pos = local_pos @ rot.T + center[None, :]
-    vel = local_vel @ rot.T + wall_vel
+    pos = _rotate_yaw(local_pos, angle) + center[None, :]
+    vel = _rotate_yaw(local_vel, angle) + wall_vel
     return pos, vel
 
 
@@ -95,6 +108,14 @@ def integrate(pos: Array, vel: Array, acc: Array, params: SimParams,
     Returns (pos, vel, predicted)."""
     acc_total = params.gravity[None, :] + acc + field_acceleration(pos, params.field)
     vel = vel + acc_total * params.dt
+    # optional speed limiter (params.max_speed > 0): overlap catastrophes
+    # (see core/params.py) are bounded instead of cascading to NaN
+    speed2 = jnp.sum(vel * vel, axis=-1, keepdims=True)
+    limit = params.max_speed
+    scale = jnp.where(
+        (limit > 0.0) & (speed2 > limit * limit),
+        limit * jax.lax.rsqrt(jnp.maximum(speed2, 1e-30)), 1.0)
+    vel = vel * scale
     pos = pos + vel * params.dt
     pos, vel = collide_container(pos, vel, params.container,
                                  params.particle_radius,

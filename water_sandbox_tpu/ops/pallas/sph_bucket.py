@@ -323,8 +323,10 @@ def _density_kernel(occ_ref, params_ref, feats_ref, counts_ref, out_ref,
                 nden = jnp.zeros((Q, T), jnp.float32)
                 for off in _offsets(dim):
                     cs = _cand_start(off, CL=CL, gz=gz) + y0
+                    # counts slice is per-offset, not per-slot — load once
+                    cnt_row = cnt_scratch[0, pl.ds(cs, T)][None, :]
 
-                    def n_body(n, carry):
+                    def n_body(n, carry, cnt_row=cnt_row):
                         den, nden = carry
                         dist2 = jnp.zeros((Q, T), jnp.float32)
                         for a in range(dim):
@@ -334,8 +336,7 @@ def _density_kernel(occ_ref, params_ref, feats_ref, counts_ref, out_ref,
                         # slot occupied iff n < counts[col] (the counts row
                         # replaces a whole mask plane)
                         mask_n = jnp.where(
-                            cnt_scratch[0, pl.ds(cs, T)][None, :]
-                            > n.astype(jnp.float32), 1.0, 0.0)
+                            cnt_row > n.astype(jnp.float32), 1.0, 0.0)
                         # self-interaction included, like the reference walk
                         # (simulation.wgsl:162-183)
                         m = jnp.where(dist2 <= h2, mask_n, 0.0)
@@ -417,8 +418,9 @@ def _force_kernel(occ_ref, params_ref, feats_ref, counts_ref, out_ref,
                 for off in _offsets(dim):
                     cs = _cand_start(off, CL=CL, gz=gz) + y0
                     is_center = all(o == 0 for o in off)
+                    cnt_row = cnt_scratch[0, pl.ds(cs, T)][None, :]
 
-                    def n_body(n, carry):
+                    def n_body(n, carry, cnt_row=cnt_row):
                         pforce, vforce = carry
                         disp = []
                         dist2 = jnp.zeros((Q, T), jnp.float32)
@@ -428,8 +430,7 @@ def _force_kernel(occ_ref, params_ref, feats_ref, counts_ref, out_ref,
                             disp.append(d_a)
                             dist2 = dist2 + d_a * d_a
                         mask_n = jnp.where(
-                            cnt_scratch[0, pl.ds(cs, T)][None, :]
-                            > n.astype(jnp.float32), 1.0, 0.0)
+                            cnt_row > n.astype(jnp.float32), 1.0, 0.0)
                         m = jnp.where(dist2 <= h2, mask_n, 0.0)
                         if is_center:
                             # skip the self pair (simulation.wgsl:231-233)

@@ -121,6 +121,12 @@ def force_rescue(predicted: Array, vel: Array, den: Array, nden: Array,
     h = params.smoothing_radius
     O = min(cfg.rescue_capacity, n)
     order, valid, rescued, _ = dropped_selection(dropped, O)
+    # beyond-budget (dropped-but-unrescued) particles carry FILL densities
+    # (near_density = 1e-5): a pair force divided by them amplifies ~1e5x
+    # and detonates the simulation the first time overflow exceeds the
+    # budget. Those particles are out of the physics this step by contract —
+    # exclude every pair that touches them (they are loudly counted).
+    unres = dropped & ~rescued
 
     def take_o(a, fill):
         rows = jnp.take(a, order, axis=0)
@@ -136,6 +142,7 @@ def force_rescue(predicted: Array, vel: Array, den: Array, nden: Array,
     oid = jnp.where(valid, order, -1)
 
     iota = jnp.arange(n, dtype=jnp.int32)
+    iota = jnp.where(unres, -3, iota)  # excluded via the id mask below
     chunks_pos = _pad_chunks(predicted, cfg.chunk, _FAR)
     chunks_vel = _pad_chunks(vel, cfg.chunk, 0.0)
     chunks_den = _pad_chunks(den, cfg.chunk, 1.0)
@@ -152,7 +159,8 @@ def force_rescue(predicted: Array, vel: Array, den: Array, nden: Array,
         disp = cpos[None, :, :] - opos[:, None, :]       # o -> j
         d2 = jnp.sum(disp * disp, axis=-1)
         dist = jnp.sqrt(jnp.minimum(d2, jnp.asarray(_FAR, d2.dtype)))
-        m = jnp.where((dist <= h) & (oid[:, None] != cid[None, :]), 1.0, 0.0)
+        m = jnp.where((dist <= h) & (oid[:, None] != cid[None, :])
+                      & (cid[None, :] != -3), 1.0, 0.0)
         dc = jnp.minimum(dist, h)
         safe = jnp.where(dist > 0.0, dist, 1.0)
         dir_oj = jnp.where((dist > 0.0)[..., None], disp / safe[..., None],
