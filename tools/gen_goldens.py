@@ -23,8 +23,9 @@ def stats(name, mode, steps, **kw):
     cfg, params, state = scenes.build(name, neighbor_mode=mode, **kw)
     t0 = time.perf_counter()
     done = 0
+    # 50-step chunks: long single rollouts trip the axon tunnel on TPU
     while done < steps:
-        chunk = min(200, steps - done)
+        chunk = min(50, steps - done)
         state = rollout(state, params, cfg, chunk)
         done += chunk
         np.asarray(state.pos)

@@ -188,15 +188,34 @@ def _moving_container_256k():
     including dt = 1/60."""
     size = (40.0, 10.0, 14.0)
     pts = cube_fluid(198, 24, 56, center=(0.0, -2.0, 0.0))  # 266,112
-    # cap 32: the trailing wall + yaw sweep pile corner cells to ~30
-    # particles; rescue (exact dense fallback) covers transients beyond it
+    # The trailing wall drags the fluid: its contact layer honestly
+    # compresses to ~20-30 particles/cell (the whole pool's inertia rides
+    # on wall pressure). cap 48 covers it with margin; the exact rescue
+    # sweep covers transients beyond that. Kinematics chosen so the wall
+    # sweep stays well below the EOS sound speed sqrt(22) ~ 4.7 m/s.
+    # cap 48 + yaw 0.02: a fast-yawing long box scoops its corners —
+    # measured corner cells reach 141 particles at yaw 0.05 even under
+    # EXACT physics (the clamp holds them against the pressure response),
+    # which keeps the O(rescue*n) exact fallback hot every step. At yaw
+    # 0.02 the corner sweep (0.42 m/s) stays far below the EOS sound speed
+    # and corners stay under capacity; rescue is then a transient-only
+    # safety net and no particle ever ghosts (ghost pileups were the
+    # round-2 collapse mode).
     cfg = SimConfig(n=pts.shape[0], dim=3, grid_dims=_grid_dims_for(size),
-                    cell_capacity=32, chunk=8192, rescue_capacity=16384)
+                    cell_capacity=48, chunk=8192, rescue_capacity=16384)
+    # k=100 (reference formula, stiffer constant — it's the HUD-tunable
+    # pressure scalar): pressure stays positive everywhere (target 10 <<
+    # any real density, like the reference), the scale height k/g ~ 10 m
+    # keeps pool compression ~1.5x, and the dragging-wall contact layer
+    # stays ~4.5x thinner than at k=22 (bounded by cap 32). CFL needs
+    # c*dt = sqrt(100)/120 = 0.083 << h — two sub-steps per 60 Hz frame.
     params = SimParams.create(
         dim=3,
+        pressure_scalar=100.0,
+        dt=1.0 / 120.0,
         container=Container.create((0.0, 0.0, 0.0), size,
-                                   velocity=(0.5, 0.0, 0.0),
-                                   angular_velocity=0.1))
+                                   velocity=(0.3, 0.0, 0.0),
+                                   angular_velocity=0.02))
     return cfg, params, init_state(pts)
 
 
@@ -209,9 +228,11 @@ def _sharded_1m():
     size = (100.0, 10.0, 18.0)
     pts = cube_fluid(498, 24, 85, center=(0.0, -2.0, 0.0))  # 1,015,920
     cfg = SimConfig(n=pts.shape[0], dim=3, grid_dims=(408, 44, 76),
-                    cell_capacity=24, chunk=8192, rescue_capacity=8192)
+                    cell_capacity=32, chunk=8192, rescue_capacity=16384)
     params = SimParams.create(
         dim=3,
+        pressure_scalar=100.0,  # see moving-container-256k
+        dt=1.0 / 120.0,
         container=Container.create((0.0, 0.0, 0.0), size))
     return cfg, params, init_state(pts)
 

@@ -346,22 +346,33 @@ def bucket_sph(predicted: Array, vel: Array, params: SimParams,
         den = _from_cells(den_c, grid.addr, params.target_density)
         nden = _from_cells(nden_c, grid.addr, DENSITY_PADDING)
 
-        def with_rescue(den, nden, den_c, nden_c):
-            den, nden, rescued, unrescued = rescue_mod.density_rescue(
-                predicted, dropped, den, nden, params, coeffs, cfg)
-            # corrected densities must be visible to the force pass
-            den_c = den_c.reshape(-1).at[grid.addr].set(
-                den, mode="drop").reshape(cap, nc)
-            nden_c = nden_c.reshape(-1).at[grid.addr].set(
-                nden, mode="drop").reshape(cap, nc)
-            return den, nden, den_c, nden_c, rescued, unrescued
+        small = rescue_mod.small_budget(cfg)
+
+        def with_rescue(budget):
+            def fn(den, nden, den_c, nden_c):
+                den, nden, rescued, unrescued = rescue_mod.density_rescue(
+                    predicted, dropped, den, nden, params, coeffs, cfg,
+                    budget=budget)
+                # corrected densities must be visible to the force pass
+                den_c = den_c.reshape(-1).at[grid.addr].set(
+                    den, mode="drop").reshape(cap, nc)
+                nden_c = nden_c.reshape(-1).at[grid.addr].set(
+                    nden, mode="drop").reshape(cap, nc)
+                return den, nden, den_c, nden_c, rescued, unrescued
+            return fn
 
         def no_rescue(den, nden, den_c, nden_c):
             return (den, nden, den_c, nden_c,
                     jnp.zeros(dropped.shape, bool), overflow)
 
+        # two-tier budget: steady-state overflow is typically a handful of
+        # particles; sweep cost is O(budget · n), so the full budget only
+        # runs when the small tier cannot cover the count
         den, nden, den_c, nden_c, rescued, unrescued = jax.lax.cond(
-            overflow > 0, with_rescue, no_rescue, den, nden, den_c, nden_c)
+            overflow > 0,
+            lambda *a: jax.lax.cond(overflow <= small, with_rescue(small),
+                                    with_rescue(cfg.rescue_capacity), *a),
+            no_rescue, den, nden, den_c, nden_c)
         prs_c = params.pressure_scalar * (den_c - params.target_density)
         nprs_c = params.near_pressure_scalar * nden_c
         prs = params.pressure_scalar * (den - params.target_density)
@@ -370,11 +381,16 @@ def bucket_sph(predicted: Array, vel: Array, params: SimParams,
         acc_c = bucket_force_pass(grid, den_c, nden_c, prs_c, nprs_c, params,
                                   coeffs, cfg)
         acc = _from_cells(acc_c, grid.addr, 0.0)
+
+        def f_rescue(budget):
+            return lambda a: rescue_mod.force_rescue(
+                predicted, vel, den, nden, prs, nprs, dropped, a, params,
+                coeffs, cfg, budget=budget)
+
         acc = jax.lax.cond(
             overflow > 0,
-            lambda a: rescue_mod.force_rescue(
-                predicted, vel, den, nden, prs, nprs, dropped, a, params,
-                coeffs, cfg),
+            lambda a: jax.lax.cond(overflow <= small, f_rescue(small),
+                                   f_rescue(cfg.rescue_capacity), a),
             lambda a: a, acc)
         return den, nden, prs, nprs, acc, unrescued
 

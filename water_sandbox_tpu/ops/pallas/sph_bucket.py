@@ -622,16 +622,25 @@ def bucket_sph(predicted: Array, vel: Array, params: SimParams,
             [dens.reshape(2, -1), dfills[:, None]], axis=1)
         den, nden = dflat[0, addr_out], dflat[1, addr_out]
 
-        def with_rescue(den, nden, dens):
-            den, nden, rescued, unrescued = rescue_mod.density_rescue(
-                predicted, dropped, den, nden, params, coeffs, cfg)
-            flat = dens.reshape(2, -1)
-            flat = flat.at[0, addr_out].set(den, mode="drop")
-            flat = flat.at[1, addr_out].set(nden, mode="drop")
-            return den, nden, flat.reshape(dens.shape), unrescued
+        small = rescue_mod.small_budget(cfg)
 
+        def with_rescue(budget):
+            def fn(den, nden, dens):
+                den, nden, rescued, unrescued = rescue_mod.density_rescue(
+                    predicted, dropped, den, nden, params, coeffs, cfg,
+                    budget=budget)
+                flat = dens.reshape(2, -1)
+                flat = flat.at[0, addr_out].set(den, mode="drop")
+                flat = flat.at[1, addr_out].set(nden, mode="drop")
+                return den, nden, flat.reshape(dens.shape), unrescued
+            return fn
+
+        # two-tier budget: see ops/grid.py — the full O(budget·n) sweep only
+        # runs when the small tier cannot cover the overflow count
         den, nden, dens, unrescued = jax.lax.cond(
-            overflow > 0, with_rescue,
+            overflow > 0,
+            lambda *a: jax.lax.cond(overflow <= small, with_rescue(small),
+                                    with_rescue(cfg.rescue_capacity), *a),
             lambda den, nden, dens: (den, nden, dens, overflow),
             den, nden, dens)
         prs = params.pressure_scalar * (den - params.target_density)
@@ -645,11 +654,16 @@ def bucket_sph(predicted: Array, vel: Array, params: SimParams,
             [acc_c.reshape(dim, -1),
              jnp.zeros((dim, 1), acc_c.dtype)], axis=1)
         acc = aflat[:, addr_out].T
+
+        def f_rescue(budget):
+            return lambda a: rescue_mod.force_rescue(
+                predicted, vel, den, nden, prs, nprs, dropped, a, params,
+                coeffs, cfg, budget=budget)
+
         acc = jax.lax.cond(
             overflow > 0,
-            lambda a: rescue_mod.force_rescue(
-                predicted, vel, den, nden, prs, nprs, dropped, a, params,
-                coeffs, cfg),
+            lambda a: jax.lax.cond(overflow <= small, f_rescue(small),
+                                   f_rescue(cfg.rescue_capacity), a),
             lambda a: a, acc)
         return den, nden, prs, nprs, acc, unrescued
 

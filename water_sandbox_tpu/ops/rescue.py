@@ -59,14 +59,17 @@ def _pad_chunks(arr: Array, chunk: int, fill) -> Array:
 
 
 def density_rescue(predicted: Array, dropped: Array, den: Array, nden: Array,
-                   params: SimParams, coeffs: KernelCoeffs, cfg: SimConfig):
+                   params: SimParams, coeffs: KernelCoeffs, cfg: SimConfig,
+                   budget: int | None = None):
     """Exact densities with dropped particles included.
 
     ``den``/``nden`` are the bucket results (dropped rows hold fill values).
+    ``budget`` overrides cfg.rescue_capacity (callers use a small-budget
+    tier for the common tiny-overflow case — sweep cost is O(budget · n)).
     Returns (den, nden, rescued (n,) bool, unrescued () int32)."""
     n, dim = predicted.shape
     h = params.smoothing_radius
-    O = min(cfg.rescue_capacity, n)
+    O = min(budget or cfg.rescue_capacity, n)
     order, valid, rescued, unrescued = dropped_selection(dropped, O)
     opos = jnp.where(valid[:, None], jnp.take(predicted, order, axis=0),
                      _FAR)
@@ -112,14 +115,15 @@ def density_rescue(predicted: Array, dropped: Array, den: Array, nden: Array,
 
 def force_rescue(predicted: Array, vel: Array, den: Array, nden: Array,
                  prs: Array, nprs: Array, dropped: Array, acc: Array,
-                 params: SimParams, coeffs: KernelCoeffs, cfg: SimConfig):
+                 params: SimParams, coeffs: KernelCoeffs, cfg: SimConfig,
+                 budget: int | None = None):
     """Exact accelerations: every pair involving a dropped particle is
     evaluated here (simulation.wgsl:198-269 formulas), the pair's
     contribution added to both sides. ``acc`` is the bucket force result
     computed with the CORRECTED densities (rescued rows hold zero)."""
     n, dim = predicted.shape
     h = params.smoothing_radius
-    O = min(cfg.rescue_capacity, n)
+    O = min(budget or cfg.rescue_capacity, n)
     order, valid, rescued, _ = dropped_selection(dropped, O)
     # beyond-budget (dropped-but-unrescued) particles carry FILL densities
     # (near_density = 1e-5): a pair force divided by them amplifies ~1e5x
@@ -204,3 +208,11 @@ def force_rescue(predicted: Array, vel: Array, den: Array, nden: Array,
     acc_corr = pf_j / den[:, None] + params.viscosity_strength * vf_j
     return jnp.where(rescued[:, None], acc_o_full,
                      jnp.where(dropped[:, None], acc, acc + acc_corr))
+
+
+def small_budget(cfg: SimConfig) -> int:
+    """The cheap-tier budget: steady-state overflow is typically a handful
+    of particles at a container corner; sweeping the full rescue budget for
+    them costs seconds per step at 256k. Callers lax.cond between this tier
+    and the full budget on the actual overflow count."""
+    return min(256, cfg.rescue_capacity)
