@@ -228,10 +228,10 @@ def build_local_slab_buckets(pred: Array, vel: Array, active: Array,
 
 
 def halo_window_occupancy(counts_ext: Array, gx_loc: int, S_pad: int,
-                          PAD: int) -> Array:
+                          PAD: int, gz: int = _M - 1) -> Array:
     """Domain-path alias: window_occupancy already reads halo counts
     ppermuted into the pad regions (it reads one slab into each pad)."""
-    return window_occupancy(counts_ext, gx_loc, S_pad, PAD)
+    return window_occupancy(counts_ext, gx_loc, S_pad, PAD, gz)
 
 
 def _window_dma(feats_ref, scratch, sems, counts_ref, cnt_scratch, cnt_sems,
@@ -276,7 +276,10 @@ _QROWS = 8
 
 # Lane-chunk target width: occupancy is bounded per (slab, lane-chunk), so
 # empty air above a settled pool costs nothing even inside occupied slabs.
-_YC = 512
+# 256 (the Mosaic minimum slice width here) bounds ~2x tighter than 512:
+# the slot loop runs to the WINDOW max, and typical cells hold far fewer
+# particles than the window's hotspot cell.
+_YC = 256
 
 
 def _lane_chunks(S_pad: int):
@@ -509,27 +512,30 @@ def _param_vector(params: SimParams, coeffs: KernelCoeffs) -> Array:
     return v
 
 
-def window_occupancy(counts: Array, gx: int, S_pad: int,
-                     PAD: int) -> Array:
-    """Per-(slab, lane-chunk) max cell occupancy over the 3-slab × ±_M-lane
-    window — the runtime bound for the candidate-slot loops. Pure
-    reductions, no scatters. Lane chunking means empty air above a settled
-    pool is skipped even inside occupied slabs.
+def window_occupancy(counts: Array, gx: int, S_pad: int, PAD: int,
+                     gz: int = _M - 1) -> Array:
+    """Per-(slab, lane-chunk) max cell occupancy over the 3-slab window with
+    the EXACT candidate lane reach ±(gz+1) — the runtime bound for the
+    candidate-slot loops. Pure reductions, no scatters. Lane chunking means
+    empty air above a settled pool is skipped even inside occupied slabs,
+    and the exact margin keeps a single hotspot from inflating the bound of
+    far-away chunks.
 
     counts: (1, L) per-cell occupancy row in the slab-padded layout. The
     span read includes one slab's worth of the PAD regions, so halo counts
     ppermuted into the pads by the domain-decomposed step
     (parallel/domain.py) are included too (single-chip builds leave the
     pads zero). Returns (gx, NYC) int32."""
+    mg = min(gz + 1, _M)
     span = counts[0, PAD - S_pad:PAD + (gx + 1) * S_pad]
     c2 = span.reshape(gx + 2, S_pad)
-    # lane margins: a chunk's candidates reach ±(gz+1) ≤ _M lanes, which at
+    # lane margins: a chunk's candidates reach ±(gz+1) lanes, which at
     # slab edges live in the adjacent slab's rows
-    zl = jnp.zeros((1, _M), c2.dtype)
-    left = jnp.concatenate([zl, c2[:-1, S_pad - _M:]], axis=0)
-    right = jnp.concatenate([c2[1:, :_M], zl], axis=0)
+    zl = jnp.zeros((1, mg), c2.dtype)
+    left = jnp.concatenate([zl, c2[:-1, S_pad - mg:]], axis=0)
+    right = jnp.concatenate([c2[1:, :mg], zl], axis=0)
     c2e = jnp.concatenate([left, c2, right], axis=1)
-    cols = [jnp.max(c2e[:, y0:y0 + T + 2 * _M], axis=1)
+    cols = [jnp.max(c2e[:, y0:y0 + T + 2 * mg], axis=1)
             for (y0, T) in _lane_chunks(S_pad)]
     m0 = jnp.stack(cols, axis=1)                       # (gx+2, NYC)
     occ = jnp.maximum(jnp.maximum(m0[:-2], m0[1:-1]), m0[2:])
@@ -600,7 +606,7 @@ def bucket_sph(predicted: Array, vel: Array, params: SimParams,
     planes, counts, addr_out, overflow = _build_slab_buckets(
         predicted, vel, params, cfg)
     params_vec = _param_vector(params, coeffs)
-    occ_win = window_occupancy(counts, gx, S_pad, PAD)
+    occ_win = window_occupancy(counts, gx, S_pad, PAD, gz)
 
     # density pass: planes [pos] → (den, nden); pressures are EOS-affine in
     # the densities, derived per row inside the force kernel and per

@@ -275,7 +275,7 @@ def _sph_local_pallas(pred, vel, active, params, coeffs, cfg, gx_loc, axis,
     dim = cfg.dim
     cfg_loc = dataclasses.replace(
         cfg, grid_dims=(gx_loc,) + cfg.grid_dims[1:])
-    _, _, _, S, S_pad, CL, PAD = sb._geometry(cfg_loc)
+    _, _, gz, S, S_pad, CL, PAD = sb._geometry(cfg_loc)
 
     planes, counts, addr_out, overflow = sb.build_local_slab_buckets(
         pred, vel, active, origin, gx_loc, me, params, cfg_loc)
@@ -285,7 +285,7 @@ def _sph_local_pallas(pred, vel, active, params, coeffs, cfg, gx_loc, axis,
     feats = _exchange_halo_slabs(planes, gx_loc, S_pad, PAD, axis)
     counts = _exchange_halo_slabs(counts[None], gx_loc, S_pad, PAD,
                                   axis)[0]
-    occ_win = sb.halo_window_occupancy(counts, gx_loc, S_pad, PAD)
+    occ_win = sb.halo_window_occupancy(counts, gx_loc, S_pad, PAD, gz)
     pv = sb._param_vector(params, coeffs)
 
     dens = sb._run_pass(sb._density_kernel, feats[:dim], counts, occ_win,
