@@ -27,6 +27,15 @@ from water_sandbox_tpu.ops.step import rollout
 slow = pytest.mark.skipif(not os.environ.get("WST_SLOW"),
                           reason="1k-step golden; set WST_SLOW=1")
 
+
+def _on_tpu():
+    import jax
+    return jax.default_backend() == "tpu"
+
+
+tpu_only = pytest.mark.skipif("not _on_tpu()",
+                              reason="compiled-kernel golden; needs a TPU")
+
 GOLDEN = {
     # -- fast pins (default suite) ------------------------------------------
     ("dam-break-2d-4k", "bucket_grid", 40): dict(
@@ -66,6 +75,13 @@ GOLDEN = {
         com=[-2.38867, -2.93723], ke=59937.56,
         bbox_lo=[-7.95, -4.45], bbox_hi=[7.95, -0.05156],
         mean_rho=128.0546, marks=slow),
+    # the reference's own scene over the full BASELINE 1k-step horizon, on
+    # the compiled TPU kernels (artifact:
+    # benchmarks/reference_cube_1k_tpu.json; generated on v5e)
+    ("reference-cube", "pallas", 1000): dict(
+        com=[0.00566, -3.76571, 0.00053], ke=1271.39,
+        bbox_lo=[-7.9, -4.4, -4.4], bbox_hi=[7.9, -2.2501, 4.4],
+        mean_rho=333.3652, marks=tpu_only),
 }
 
 
@@ -84,7 +100,14 @@ def test_golden_trajectory(key):
     g = GOLDEN[key]
     cfg, params, state = scenes.build(name, neighbor_mode=mode,
                                       **g.get("kw", {}))
-    s = rollout(state, params, cfg, steps)
+    # 50-step chunks: identical physics (pure composition), and long single
+    # rollouts trip the axon TPU tunnel for the tpu_only entries
+    s = state
+    done = 0
+    while done < steps:
+        chunk = min(50, steps - done)
+        s = rollout(s, params, cfg, chunk)
+        done += chunk
     pos = np.asarray(s.pos)
     vel = np.asarray(s.vel)
 
