@@ -89,10 +89,12 @@ def sort_pairs(keys: Array, values: Array, interpret: bool = False):
     (≈1.9M pairs on a 16 MB core)."""
     n = keys.shape[0]
     n_pad = max(_LANES * 8, 1 << (n - 1).bit_length())
-    # Mosaic's scoped-VMEM stack holds several live stage temporaries on top
-    # of the two arrays; 128k pairs is the observed safe bound on v5e.
-    if n_pad > 131072:
-        raise ValueError(f"n={n} too large for the in-VMEM sort (max 131072)")
+    # Mosaic's scoped-VMEM stack holds several live stage temporaries on
+    # top of the two arrays; 64k pairs is the observed safe bound on v5e
+    # (128k needs 16.87M scoped vmem vs the 16M stack cap, and the cap is
+    # not raised by CompilerParams.vmem_limit_bytes).
+    if n_pad > 65536:
+        raise ValueError(f"n={n} too large for the in-VMEM sort (max 65536)")
 
     keys_p = jnp.full((n_pad,), _KEY_MAX, jnp.int32).at[:n].set(
         keys.astype(jnp.int32))
@@ -109,6 +111,10 @@ def sort_pairs(keys: Array, values: Array, interpret: bool = False):
                    pl.BlockSpec(memory_space=pltpu.VMEM)),
         out_shape=(jax.ShapeDtypeStruct((rows, _LANES), jnp.int32),
                    jax.ShapeDtypeStruct((rows, _LANES), jnp.int32)),
+        # stage temporaries push past the default 16 MB scoped budget at
+        # 128k pairs (measured: 16.87M needed)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=max(24 * n_pad, 16 * 2**20)),
         interpret=interpret,
     )(keys_p.reshape(rows, _LANES), vals_p.reshape(rows, _LANES))
     return out_keys.reshape(-1)[:n], out_vals.reshape(-1)[:n]
