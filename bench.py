@@ -56,6 +56,39 @@ def main():
     wall = time.perf_counter() - t0
     rate = chunk * sim.cfg.n / wall
 
+    # roofline anchor (VERDICT r2 item 6): count TRUE interacting pairs in
+    # the settled state (one chunked O(n^2) sweep, bench-time only) and
+    # convert to useful pair-interaction FLOPs per step. ~61 f32 ops per
+    # directed pair across the density (~16) and force (~45) passes, from
+    # the kernel math in ops/pallas/sph_bucket.py. The denominator is the
+    # v5e VPU f32 peak (~3.2e12 op/s; the SPH pair math is pure VPU — the
+    # MXU is idle by design, bf16 matmuls detonate particle positions).
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def true_pairs(pos, h):
+        n = pos.shape[0]
+        c = 8192
+        n_pad = -(-n // c) * c
+        padded = jnp.pad(pos, ((0, n_pad - n), (0, 0)),
+                         constant_values=1e15)
+        chunks = padded.reshape(n_pad // c, c, -1)
+
+        def body(tot, cpos):
+            d2 = jnp.sum((cpos[:, None, :] - pos[None, :, :]) ** 2, -1)
+            return tot + jnp.sum(d2 <= h * h), None
+
+        tot, _ = jax.lax.scan(body, jnp.zeros((), jnp.int64)
+                              if jax.config.jax_enable_x64
+                              else jnp.zeros((), jnp.float32), chunks)
+        return tot
+
+    pairs = float(true_pairs(sim.state.predicted,
+                             sim.params.smoothing_radius))
+    pair_flops = pairs * 61.0
+    vpu_peak = 3.2e12
+    flops_per_s = pair_flops * rate / sim.cfg.n
     baseline = 65536 * 60.0  # reference implied particle-steps/s
     print(json.dumps({
         "metric": (f"particle-steps/sec/chip ({scene}, n={sim.cfg.n}, "
@@ -63,6 +96,9 @@ def main():
         "value": round(rate, 1),
         "unit": "particle-steps/s",
         "vs_baseline": round(rate / baseline, 3),
+        "true_pairs_per_particle": round(pairs / sim.cfg.n, 1),
+        "pair_gflops_per_s": round(flops_per_s / 1e9, 1),
+        "vpu_mfu_est": round(flops_per_s / vpu_peak, 4),
     }))
 
 

@@ -2,10 +2,11 @@
 fills PLAN.md's cost ledger with measured numbers.
 
 Stages timed in isolation (each its own jit, hard device_get sync):
-build (sort + reorder + scatters + counts), occupancy, density pass,
-force pass, gather-back, rescue-off integrate, and the full fused step.
+build (sort + reorder + scatters + counts), occupancy bounds, density pass,
+force pass, gather-back, and the full fused step.
 
     python benchmarks/step_breakdown.py [--settle 300] [--tune JSON]
+        [--checkpoint PATH]   # reuse a settled state instead of running
 """
 from __future__ import annotations
 
@@ -37,6 +38,7 @@ def main():
     ap.add_argument("--scene", default="moving-container-256k")
     ap.add_argument("--settle", type=int, default=300)
     ap.add_argument("--tune", default=None)
+    ap.add_argument("--checkpoint", default=None)
     args = ap.parse_args()
 
     import water_sandbox_tpu as wst
@@ -46,67 +48,69 @@ def main():
     sim = wst.Simulation.from_scene(args.scene, neighbor_mode="pallas")
     if args.tune:
         sim.tune(**json.loads(args.tune))
-    done = 0
-    while done < args.settle:
-        sim.run(min(50, args.settle - done))
-        done += 50
-    np.asarray(sim.state.pos)
-    print(f"settled {done} steps, ke="
-          f"{float(0.5*jnp.sum(sim.state.vel**2)):.3g}", flush=True)
+    if args.checkpoint:
+        from water_sandbox_tpu.runtime import checkpoint
+        state, params, _ = checkpoint.load(args.checkpoint)
+        sim.state, sim.params = state, params
+    else:
+        done = 0
+        while done < args.settle:
+            sim.run(min(50, args.settle - done))
+            done += 50
+        np.asarray(sim.state.pos)
+        print(f"settled {done} steps, ke="
+              f"{float(0.5*jnp.sum(sim.state.vel**2)):.3g}", flush=True)
 
     cfg, params = sim.cfg, sim.params
     state = sim.state
     coeffs = KernelCoeffs.from_radius(params.smoothing_radius, cfg.dim)
-    gx, gy, gz, S, S_pad, CL, PAD = sb._geometry(cfg)
+    gx, gy, gz, S, S_pad, NYC, PAD, L = sb._geometry(cfg)
     dim = cfg.dim
 
     results = {}
 
     build = jax.jit(functools.partial(sb._build_slab_buckets, cfg=cfg))
     results["build"] = timeit(build, state.predicted, state.vel, params)
-    planes, counts, addr_out, overflow = build(state.predicted, state.vel,
-                                               params)
+    planes, counts, addr, overflow = build(state.predicted, state.vel,
+                                           params)
     print(f"build {results['build']:.1f} ms  overflow={int(overflow)}",
           flush=True)
 
-    occf = jax.jit(lambda c: sb.window_occupancy(c, gx, S_pad, PAD))
+    occf = jax.jit(lambda c: sb.occupancy_bounds(c, gx, S_pad, PAD, gz))
     results["occupancy"] = timeit(occf, counts)
-    occ_win = occf(counts)
-    occ_np = np.asarray(occ_win)
+    own, m0 = occf(counts)
+    own_np, m0_np = np.asarray(own), np.asarray(m0)
     results["occ_stats"] = {
-        "mean": round(float(occ_np.mean()), 2),
-        "p50": int(np.percentile(occ_np, 50)),
-        "p90": int(np.percentile(occ_np, 90)),
-        "max": int(occ_np.max()),
+        "own_mean": round(float(own_np.mean()), 2),
+        "own_p90": int(np.percentile(own_np, 90)),
+        "own_max": int(own_np.max()),
+        "m0_mean": round(float(m0_np.mean()), 2),
+        "m0_p90": int(np.percentile(m0_np, 90)),
+        "m0_max": int(m0_np.max()),
     }
     print(f"occupancy {results['occupancy']:.1f} ms  {results['occ_stats']}",
           flush=True)
 
     pv = sb._param_vector(params, coeffs)
 
-    dens_f = jax.jit(lambda p, c, o: sb._run_pass(
-        sb._density_kernel, p[:dim], c, o, pv, cfg, 2, False))
-    results["density_pass"] = timeit(dens_f, planes, counts, occ_win)
-    dens = dens_f(planes, counts, occ_win)
+    dens_f = jax.jit(lambda p, o, m: sb._run_density(p, o, m, pv, cfg, False))
+    results["density_pass"] = timeit(dens_f, planes, own, m0)
+    dens = dens_f(planes, own, m0)
     print(f"density {results['density_pass']:.1f} ms", flush=True)
 
-    def force(planes, counts, occ_win, dens):
-        dens_p = jnp.pad(dens, ((0, 0), (0, 0), (PAD, PAD)))
-        feats = jnp.concatenate([planes, dens_p], axis=0)
-        return sb._run_pass(sb._force_kernel, feats, counts, occ_win, pv,
-                            cfg, dim, False)
-    force_f = jax.jit(force)
-    results["force_pass"] = timeit(force_f, planes, counts, occ_win, dens)
-    acc_c = force_f(planes, counts, occ_win, dens)
+    force_f = jax.jit(
+        lambda p, d, o, m: sb._run_force(p, d, o, m, pv, cfg, False))
+    results["force_pass"] = timeit(force_f, planes, dens, own, m0)
+    out_c = force_f(planes, dens, own, m0)
     print(f"force {results['force_pass']:.1f} ms", flush=True)
 
-    def gather(dens, acc_c, addr_out):
-        stacked = jnp.concatenate([dens, acc_c], axis=0).reshape(2 + dim, -1)
+    def gather(out_c, addr):
         stacked = jnp.concatenate(
-            [stacked, jnp.zeros((2 + dim, 1), stacked.dtype)], axis=1)
-        return stacked[:, addr_out]
+            [out_c.reshape(2 + dim, -1),
+             jnp.zeros((2 + dim, 1), out_c.dtype)], axis=1)
+        return stacked[:, addr]
     gather_f = jax.jit(gather)
-    results["gather_back"] = timeit(gather_f, dens, acc_c, addr_out)
+    results["gather_back"] = timeit(gather_f, out_c, addr)
     print(f"gather {results['gather_back']:.1f} ms", flush=True)
 
     from water_sandbox_tpu.ops import step as step_mod

@@ -53,9 +53,9 @@ GOLDEN = {
     # fused Pallas kernels (interpret mode off-TPU) — tracks the bucket_grid
     # 60-step golden to 1e-4, pinned independently
     ("mini-3d", "pallas", 60): dict(
-        com=[0.0, -3.79511, 0.0], ke=10585.88,
+        com=[0.0, -3.79511, 0.0], ke=10585.89,
         bbox_lo=[-2.28083, -4.4, -2.28083],
-        bbox_hi=[2.28083, -3.10759, 2.28083], mean_rho=156.2286,
+        bbox_hi=[2.28083, -3.10759, 2.28083], mean_rho=156.2285,
         kw=dict(grid_dims=(20, 16, 16))),
     # -- 1000-step pins (BASELINE.md bar; WST_SLOW=1) -----------------------
     ("mini-3d", "dense", 1000): dict(
@@ -72,16 +72,16 @@ GOLDEN = {
         bbox_lo=[-7.95, -4.45], bbox_hi=[7.95, -2.74188],
         mean_rho=195.7284, marks=slow),
     ("dam-break-2d-4k", "pallas", 200): dict(
-        com=[-2.38867, -2.93723], ke=59937.56,
-        bbox_lo=[-7.95, -4.45], bbox_hi=[7.95, -0.05156],
-        mean_rho=128.0546, marks=slow),
+        com=[-2.38905, -2.9272], ke=59908.64,
+        bbox_lo=[-7.95, -4.45], bbox_hi=[7.95, -0.20437],
+        mean_rho=130.3085, marks=slow),
     # the reference's own scene over the full BASELINE 1k-step horizon, on
     # the compiled TPU kernels (artifact:
     # benchmarks/reference_cube_1k_tpu.json; generated on v5e)
     ("reference-cube", "pallas", 1000): dict(
-        com=[0.00566, -3.76571, 0.00053], ke=1271.39,
-        bbox_lo=[-7.9, -4.4, -4.4], bbox_hi=[7.9, -2.2501, 4.4],
-        mean_rho=333.3652, marks=tpu_only),
+        com=[0.00579, -3.76539, 0.00057], ke=1270.59,
+        bbox_lo=[-7.9, -4.4, -4.4], bbox_hi=[7.9, -2.26113, 4.4],
+        mean_rho=333.2167, marks=tpu_only),
 }
 
 

@@ -40,10 +40,14 @@ def test_pallas_matches_xla_bucket(dim):
 def test_pallas_geometry_alignment():
     cfg = SimConfig(n=64, dim=3, neighbor_mode="pallas",
                     grid_dims=(16, 12, 10), cell_capacity=8)
-    gx, gy, gz, S, S_pad, CL, PAD = sph_bucket._geometry(cfg)
-    assert S == 120 and S_pad % 128 == 0 and S_pad >= S
-    assert CL == S_pad + 2 * sph_bucket._M
-    assert PAD % 128 == 0
+    gx, gy, gz, S, S_pad, NYC, PAD, L = sph_bucket._geometry(cfg)
+    assert S == 120 and S_pad % sph_bucket._T == 0 and S_pad >= S
+    assert NYC == S_pad // sph_bucket._T
+    # PAD must be a multiple of the lane-chunk width (output BlockSpec
+    # tiling) and leave room for the edge slabs' full halo windows
+    assert PAD % sph_bucket._T == 0
+    assert PAD >= S_pad + sph_bucket._M
+    assert L == PAD + gx * S_pad + PAD
 
 
 def test_pallas_rejects_oversized_z():

@@ -56,3 +56,48 @@ def test_sharded_rollout_rejects_bad_split():
     mesh = mesh_mod.make_mesh(8)
     with pytest.raises(ValueError, match="not divisible"):
         gspmd.make_sharded_rollout(mesh, cfg)
+
+
+def _sharded_step_hlo(grid_dims, lattice, cap=16):
+    """Compiled HLO text of one sharded step at the given grid."""
+    pts = scenes.cube_fluid(*lattice)
+    cfg = SimConfig(n=pts.shape[0], dim=3, neighbor_mode="bucket_grid",
+                    grid_dims=grid_dims, cell_capacity=cap)
+    params = SimParams.create(dim=3)
+    mesh = mesh_mod.make_mesh(8)
+    state = gspmd.shard_state(init_state(pts), mesh)
+    rollout = gspmd.make_sharded_rollout(mesh, cfg)
+    lowered = jax.jit(
+        lambda s, p: rollout(s, p, 1)).lower(state, params)
+    return lowered.compile().as_text()
+
+
+def test_gspmd_lowers_rolls_to_collective_permute():
+    """The gspmd docstring claims the neighbor rolls lower to one-slab halo
+    collective-permutes between mesh neighbors (not all-gathers of the whole
+    cell grid). That claim was FALSE until the offset loop was statically
+    unrolled for the sharded path (ops/grid.py::_offset_fold): with traced
+    roll shifts the SPMD partitioner all-gathered stacked cell planes (e.g.
+    f32[4,16,32768] — 8 MiB, 8x a single plane) every pass. Verify on a
+    realistically-proportioned grid: collective-permutes must be present and
+    every remaining all-gather must be at most ONE (cap, nc) plane — the
+    per-particle gather-back legitimately repartitions plane-sharded results
+    to the particle axis; grid replication would gather stacked planes."""
+    import re
+
+    hlo = _sharded_step_hlo((64, 16, 16), (16, 12, 12))
+    n_cp = hlo.count("collective-permute")
+    # 26 nonzero neighbor offsets in 2 passes, each needing at least one
+    # boundary exchange; fused/deduped counts vary, so just require plenty
+    assert n_cp >= 26, f"only {n_cp} collective-permutes — halo exchange " \
+        "did not lower to ICI collective-permutes"
+
+    plane_bytes = 16 * 64 * 16 * 16 * 4  # (cap, nc) f32 = 1 MiB
+    for m in re.finditer(r"all-gather[^=]*=\s*\(?[fs]32\[([\d,]+)\]", hlo):
+        shape = [int(x) for x in m.group(1).split(",")]
+        size = 4
+        for s in shape:
+            size *= s
+        assert size <= plane_bytes, (
+            f"all-gather of {size} bytes (> one plane) suggests grid "
+            f"replication: {m.group(0)[:120]}")

@@ -179,13 +179,41 @@ def _roll_shifts(dims: tuple) -> Array:
         jnp.int32)
 
 
+def _py_roll_shifts(dims: tuple) -> list[int]:
+    """_roll_shifts as Python ints, for the statically-unrolled offset loop
+    (the sharded path: the SPMD partitioner can only turn a roll into a
+    boundary-slab halo exchange when the shift is a compile-time constant —
+    a traced shift forces it to all-gather the whole cell grid instead,
+    verified by tests/test_parallel.py::test_gspmd_lowers_rolls_to_collective_permute)."""
+    import itertools
+    offs = list(itertools.product((-1, 0, 1), repeat=len(dims)))
+    strides = [1] * len(dims)
+    for a in range(len(dims) - 2, -1, -1):
+        strides[a] = strides[a + 1] * dims[a + 1]
+    return [-sum(o * s for o, s in zip(off, strides)) for off in offs]
+
+
 def _rolled_dyn(x: Array, flat_shift: Array, dims: tuple) -> Array:
     """Rotate the trailing (flat cell) axis by a traced shift."""
     return jnp.roll(x, flat_shift, axis=-1)
 
 
+def _offset_fold(body, init, dims: tuple, unroll: bool):
+    """Fold `body(carry, shift) -> carry` over the 3^dim neighbor shifts:
+    a compact lax.scan for the single-device path, a static Python unroll
+    (constant shifts) when the cell axis is sharded (see _py_roll_shifts)."""
+    if unroll:
+        carry = init
+        for sh in _py_roll_shifts(dims):
+            carry, _ = body(carry, sh)  # python int -> static roll
+        return carry
+    carry, _ = jax.lax.scan(body, init, _roll_shifts(dims))
+    return carry
+
+
 def bucket_density_pass(grid: BucketGrid, params: SimParams,
-                        coeffs: KernelCoeffs, cfg: SimConfig):
+                        coeffs: KernelCoeffs, cfg: SimConfig,
+                        unroll: bool = False):
     """Density + EOS over the slot-major bucket layout
     (simulation.wgsl:144-195).
 
@@ -218,8 +246,8 @@ def bucket_density_pass(grid: BucketGrid, params: SimParams,
         nden = nden + jnp.sum(m * kernels.w_near(dc, h, coeffs), axis=1)
         return (den, nden), None
 
-    (den, nden), _ = jax.lax.scan(
-        body, (jnp.zeros_like(M), jnp.zeros_like(M)), _roll_shifts(dims))
+    den, nden = _offset_fold(
+        body, (jnp.zeros_like(M), jnp.zeros_like(M)), dims, unroll)
 
     den = den + DENSITY_PADDING
     nden = nden + DENSITY_PADDING
@@ -230,7 +258,7 @@ def bucket_density_pass(grid: BucketGrid, params: SimParams,
 
 def bucket_force_pass(grid: BucketGrid, den: Array, nden: Array, prs: Array,
                       nprs: Array, params: SimParams, coeffs: KernelCoeffs,
-                      cfg: SimConfig) -> Array:
+                      cfg: SimConfig, unroll: bool = False) -> Array:
     """Pressure + viscosity acceleration over the slot-major bucket layout
     (simulation.wgsl:198-269), one lax.scan over neighbor offsets. Self pair
     excluded only for the zero offset. Returns cell acc (dim, C, num_cells)."""
@@ -259,7 +287,7 @@ def bucket_force_pass(grid: BucketGrid, den: Array, nden: Array, prs: Array,
             dist2 = dist2 + d_a * d_a
         dist = jnp.sqrt(dist2)
         m = jnp.where(kernels.support_mask(dist, h), MQ[None], 0.0)
-        is_center = (shift == 0).astype(dtype)
+        is_center = jnp.asarray(shift == 0, dtype)
         m = m * (1.0 - is_center * eye)  # skip self in the center cell only
         dc = jnp.minimum(dist, h)  # see density pass: avoid 0·inf = NaN
 
@@ -289,8 +317,8 @@ def bucket_force_pass(grid: BucketGrid, den: Array, nden: Array, prs: Array,
                 axis=1))
         return (pressure_force, viscosity_force), None
 
-    (pressure_force, viscosity_force), _ = jax.lax.scan(
-        body, (jnp.zeros_like(P), jnp.zeros_like(P)), _roll_shifts(dims))
+    pressure_force, viscosity_force = _offset_fold(
+        body, (jnp.zeros_like(P), jnp.zeros_like(P)), dims, unroll)
 
     return (pressure_force / den[None]
             + params.viscosity_strength * viscosity_force)
@@ -329,6 +357,7 @@ def bucket_sph(predicted: Array, vel: Array, params: SimParams,
     rolls then lower to ICI halo exchanges."""
     from . import rescue as rescue_mod
 
+    unroll = constrain is not None
     grid = build_bucket_grid(predicted, vel, params, cfg)
     if constrain is not None:
         grid = BucketGrid(
@@ -337,7 +366,7 @@ def bucket_sph(predicted: Array, vel: Array, params: SimParams,
             cell_mask=constrain(grid.cell_mask),
             addr=grid.addr, origin=grid.origin, overflow=grid.overflow)
     den_c, nden_c, prs_c, nprs_c = bucket_density_pass(grid, params, coeffs,
-                                                       cfg)
+                                                       cfg, unroll=unroll)
     overflow = grid.overflow
 
     if cfg.rescue_capacity > 0:
@@ -379,7 +408,7 @@ def bucket_sph(predicted: Array, vel: Array, params: SimParams,
         nprs = params.near_pressure_scalar * nden
 
         acc_c = bucket_force_pass(grid, den_c, nden_c, prs_c, nprs_c, params,
-                                  coeffs, cfg)
+                                  coeffs, cfg, unroll=unroll)
         acc = _from_cells(acc_c, grid.addr, 0.0)
 
         def f_rescue(budget):
@@ -395,7 +424,7 @@ def bucket_sph(predicted: Array, vel: Array, params: SimParams,
         return den, nden, prs, nprs, acc, unrescued
 
     acc_c = bucket_force_pass(grid, den_c, nden_c, prs_c, nprs_c, params,
-                              coeffs, cfg)
+                              coeffs, cfg, unroll=unroll)
     den = _from_cells(den_c, grid.addr, params.target_density)
     nden = _from_cells(nden_c, grid.addr, DENSITY_PADDING)
     prs = _from_cells(prs_c, grid.addr, 0.0)

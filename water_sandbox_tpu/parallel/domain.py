@@ -275,7 +275,7 @@ def _sph_local_pallas(pred, vel, active, params, coeffs, cfg, gx_loc, axis,
     dim = cfg.dim
     cfg_loc = dataclasses.replace(
         cfg, grid_dims=(gx_loc,) + cfg.grid_dims[1:])
-    _, _, gz, S, S_pad, CL, PAD = sb._geometry(cfg_loc)
+    _, _, gz, S, S_pad, NYC, PAD, L = sb._geometry(cfg_loc)
 
     planes, counts, addr_out, overflow = sb.build_local_slab_buckets(
         pred, vel, active, origin, gx_loc, me, params, cfg_loc)
@@ -285,24 +285,23 @@ def _sph_local_pallas(pred, vel, active, params, coeffs, cfg, gx_loc, axis,
     feats = _exchange_halo_slabs(planes, gx_loc, S_pad, PAD, axis)
     counts = _exchange_halo_slabs(counts[None], gx_loc, S_pad, PAD,
                                   axis)[0]
-    occ_win = sb.halo_window_occupancy(counts, gx_loc, S_pad, PAD, gz)
+    # m0 rows 0 / gx_loc+1 read the pad regions the halo counts landed in,
+    # so candidate-block gating covers halo neighbors; queries (gated by
+    # `own`) stay local-only — forces are computed by the owner device.
+    own, m0 = sb.occupancy_bounds(counts, gx_loc, S_pad, PAD, gz)
     pv = sb._param_vector(params, coeffs)
 
-    dens = sb._run_pass(sb._density_kernel, feats[:dim], counts, occ_win,
-                        pv, cfg_loc, 2, interpret)
+    dens = sb._run_density(feats, own, m0, pv, cfg_loc, interpret)
     # halo densities are the neighbors' locally-exact results
-    dens_p = jnp.pad(dens, ((0, 0), (0, 0), (PAD, PAD)))
-    dens_p = _exchange_halo_slabs(dens_p, gx_loc, S_pad, PAD, axis)
+    dens = _exchange_halo_slabs(dens, gx_loc, S_pad, PAD, axis)
 
-    feats_f = jnp.concatenate([feats, dens_p], axis=0)
-    acc_p = sb._run_pass(sb._force_kernel, feats_f, counts, occ_win, pv,
-                         cfg_loc, dim, interpret)
+    out_c = sb._run_force(feats, dens, own, m0, pv, cfg_loc, interpret)
 
     # one multi-feature gather back to particle order (see bucket_sph)
     fills = jnp.asarray(
-        [params.target_density, DENSITY_PADDING] + [0.0] * dim, dens.dtype)
-    stacked = jnp.concatenate([dens, acc_p], axis=0).reshape(2 + dim, -1)
-    stacked = jnp.concatenate([stacked, fills[:, None]], axis=1)
+        [params.target_density, DENSITY_PADDING] + [0.0] * dim, out_c.dtype)
+    stacked = jnp.concatenate(
+        [out_c.reshape(2 + dim, -1), fills[:, None]], axis=1)
     out = stacked[:, addr_out]
     den, nden = out[0], out[1]
     acc = out[2:].T
