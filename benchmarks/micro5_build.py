@@ -41,6 +41,10 @@ def main():
 
     results = {"n": n, "cap": cap, "L": L}
 
+    def rec(name, val):
+        results[name] = val
+        print(name, round(val, 2), flush=True)
+
     def scatter_with(fill):
         @jax.jit
         def fn(flat, vals):
@@ -53,8 +57,8 @@ def main():
             return outs
         return fn
 
-    results["six_scatters_zeros"] = timeit(scatter_with(0.0), flat, vals)
-    results["six_scatters_far"] = timeit(scatter_with(1.0e15), flat, vals)
+    rec("six_scatters_zeros", timeit(scatter_with(0.0), flat, vals))
+    rec("six_scatters_far", timeit(scatter_with(1.0e15), flat, vals))
 
     @jax.jit
     def mixed(flat, vals):
@@ -66,7 +70,7 @@ def main():
                 vals[:, j], mode="promise_in_bounds", unique_indices=True))
         return outs
 
-    results["six_scatters_mixed"] = timeit(mixed, flat, vals)
+    rec("six_scatters_mixed", timeit(mixed, flat, vals))
 
     iota = jnp.arange(n, dtype=jnp.int32)
 
@@ -74,14 +78,14 @@ def main():
     def sort_pair(col):
         return jax.lax.sort((col, iota), num_keys=1)
 
-    results["sort"] = timeit(sort_pair, col)
+    rec("sort", timeit(sort_pair, col))
 
     @jax.jit
     def row_gather(vals, order):
         return jnp.take(vals, order, axis=0)
 
     _, order = sort_pair(col)
-    results["row_gather6"] = timeit(row_gather, vals, order)
+    rec("row_gather6", timeit(row_gather, vals, order))
 
     @jax.jit
     def counts_add(col):
@@ -89,27 +93,27 @@ def main():
             jnp.zeros((1, L), jnp.float32).at[0, col].add(
                 1.0, mode="promise_in_bounds"), float(cap))
 
-    results["counts_add"] = timeit(counts_add, col)
+    rec("counts_add", timeit(counts_add, col))
 
     @jax.jit
     def addr_scatter(order, flat):
         return jnp.zeros((n,), jnp.int32).at[order].set(
             flat, unique_indices=True)
 
-    results["addr_scatter"] = timeit(addr_scatter, order, flat)
+    rec("addr_scatter", timeit(addr_scatter, order, flat))
 
-    # occupancy bounds at this geometry (isolated-jit cost; fused in-step)
+    # occupancy bounds at the real flagship geometry (isolated-jit cost)
+    from water_sandbox_tpu.models import scenes
     from water_sandbox_tpu.ops.pallas import sph_bucket as sb
-    counts = counts_add(col)
-    gx, S_pad, PAD, gz = 162, 2816, 3072, 63
-    Lx = PAD + gx * S_pad + PAD
-    counts_l = jnp.zeros((1, Lx), jnp.float32).at[0, :L].set(counts[0])
+    cfg, _, _ = scenes.build("moving-container-256k")
+    gx, gy, gz, S, S_pad, NYC, PAD, Lx = sb._geometry(cfg)
+    counts_l = jnp.zeros((1, Lx), jnp.float32).at[0, PAD:PAD + n].set(1.0)
 
     @jax.jit
     def occ(c):
         return sb.occupancy_bounds(c, gx, S_pad, PAD, gz)
 
-    results["occupancy_bounds"] = timeit(occ, counts_l)
+    rec("occupancy_bounds", timeit(occ, counts_l))
 
     print(json.dumps(results, indent=1))
     with open("benchmarks/micro5_build_results.json", "w") as f:

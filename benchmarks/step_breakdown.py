@@ -105,10 +105,8 @@ def main():
     print(f"force {results['force_pass']:.1f} ms", flush=True)
 
     def gather(out_c, addr):
-        stacked = jnp.concatenate(
-            [out_c.reshape(2 + dim, -1),
-             jnp.zeros((2 + dim, 1), out_c.dtype)], axis=1)
-        return stacked[:, addr]
+        cap_p = sb._cap_pad(cfg.cell_capacity)
+        return sb.gather_results(out_c, addr, addr == cap_p * L, params)
     gather_f = jax.jit(gather)
     results["gather_back"] = timeit(gather_f, out_c, addr)
     print(f"gather {results['gather_back']:.1f} ms", flush=True)

@@ -55,3 +55,45 @@ def test_pallas_rejects_oversized_z():
                     grid_dims=(16, 12, 200), cell_capacity=8)
     with pytest.raises(ValueError, match="z-dim"):
         sph_bucket._geometry(cfg)
+
+
+@pytest.mark.parametrize("gate", [("slab", 1), ("slab", 2), ("slab", 4),
+                                  ("slab", 8), ("off", 4), ("off", 8),
+                                  ("qrow", 8)])
+def test_gate_variants_match_xla_bucket(gate):
+    """Every candidate-gating variant the micro6 sweep times must be
+    physics-identical — whichever wins on the TPU can be adopted without a
+    correctness question."""
+    import functools
+
+    from water_sandbox_tpu.core.params import DENSITY_PADDING
+
+    dim = 3
+    pred, vel = make_inputs(dim, seed=3)
+    n = pred.shape[0]
+    params = SimParams.create(dim=dim)
+    coeffs = KernelCoeffs.from_radius(params.smoothing_radius, dim)
+    cfg = SimConfig(n=n, dim=dim, neighbor_mode="pallas",
+                    grid_dims=(8,) * dim, cell_capacity=8)
+    ref = grid_mod.bucket_sph(pred, vel, params, coeffs, cfg)
+
+    planes, counts, addr, overflow = sph_bucket._build_slab_buckets(
+        pred, vel, params, cfg)
+    gx, gy, gz, S, S_pad, NYC, PAD, L = sph_bucket._geometry(cfg)
+    own, m0 = sph_bucket.occupancy_bounds(counts, gx, S_pad, PAD, gz)
+    pv = sph_bucket._param_vector(params, coeffs)
+    assert int(overflow) == 0
+
+    dens = sph_bucket._run_density(planes, own, m0, pv, cfg,
+                                   interpret=True, gate=gate)
+    out_c = sph_bucket._run_force(planes, dens, own, m0, pv, cfg,
+                                  interpret=True, gate=gate)
+    dropped = addr == sph_bucket._cap_pad(cfg.cell_capacity) * L
+    den, nden, acc = sph_bucket.gather_results(out_c, addr, dropped, params)
+
+    np.testing.assert_allclose(np.asarray(den), np.asarray(ref[0]),
+                               rtol=2e-4, atol=2e-4, err_msg="den")
+    np.testing.assert_allclose(np.asarray(nden), np.asarray(ref[1]),
+                               rtol=2e-4, atol=2e-4, err_msg="nden")
+    np.testing.assert_allclose(np.asarray(acc), np.asarray(ref[4]),
+                               rtol=2e-4, atol=2e-4, err_msg="acc")

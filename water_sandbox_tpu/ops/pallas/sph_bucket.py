@@ -72,8 +72,24 @@ def _offsets(dim: int):
     return list(itertools.product((-1, 0, 1), repeat=dim))
 
 
+def _offsets_yz(dim: int, gz: int):
+    """The 3^(dim-1) within-slab offsets as flat-axis lane shifts."""
+    if dim == 3:
+        return [oy * gz + oz
+                for oy, oz in itertools.product((-1, 0, 1), repeat=2)]
+    return [-1, 0, 1]
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def _cap_pad(cap: int) -> int:
+    """Slot rows in the bucket planes, padded to the kernels' static 8-row
+    block size. Rows >= cell_capacity are never written (the build drops at
+    slot < cap first) and hold the _FAR fill, and the occupancy gates (counts
+    clamp at cap) never enable blocks past ceil(cap/8)."""
+    return _round_up(cap, 8)
 
 
 def _geometry(cfg: SimConfig):
@@ -136,26 +152,29 @@ def _build_slab_buckets(predicted: Array, vel: Array, params, cfg: SimConfig):
         [jnp.ones((1,), bool), sorted_col[1:] != sorted_col[:-1]])
     run_start = jax.lax.cummax(jnp.where(first, ranks, 0))
     slot = ranks - run_start
+    cap_p = _cap_pad(cap)
     ok = slot < cap
-    flat = jnp.where(ok, slot * L + PAD + sorted_col, cap * L)
+    flat = jnp.where(ok, slot * L + PAD + sorted_col, cap_p * L)
 
     rows = jnp.concatenate([predicted, vel], axis=1)   # (n, 2·dim)
     srows = jnp.take(rows, order, axis=0)              # ONE gather
 
     def scatter(vals, fill):
-        out = jnp.full((cap * L + 1,), fill, dtype)
+        out = jnp.full((cap_p * L + 1,), fill, dtype)
         return out.at[flat].set(
             vals, mode="promise_in_bounds",
-            unique_indices=True)[:-1].reshape(cap, L)
+            unique_indices=True)[:-1].reshape(cap_p, L)
 
     planes = jnp.stack([scatter(srows[:, j], _FAR if j < dim else 0.0)
                         for j in range(2 * dim)])
 
-    counts = jnp.zeros((1, L), dtype).at[0, PAD + col].add(
-        1.0, mode="promise_in_bounds")
-    # clamp to capacity: dropped particles are NOT in the slot planes, and
-    # an unclamped count would overrun the gated block range
-    counts = jnp.minimum(counts, float(cap))
+    # occupied-slot counts derived from the position plane (occupied slots
+    # hold real positions, empty ones _FAR) — a cheap streaming reduction
+    # instead of a scatter-add's ~2 ms fixed + ~14 ns/element tax. Dropped
+    # particles are absent from the planes, so this is intrinsically
+    # capacity-clamped (the gated block loops must not overrun cap).
+    counts = jnp.sum(jnp.where(planes[0] < _FAR * 0.5, 1.0, 0.0),
+                     axis=0, dtype=dtype)[None, :]
 
     addr = jnp.zeros((n,), jnp.int32).at[order].set(flat, unique_indices=True)
     overflow = (n - jnp.sum(ok)).astype(jnp.int32)
@@ -198,24 +217,28 @@ def build_local_slab_buckets(pred: Array, vel: Array, active: Array,
         [jnp.ones((1,), bool), sorted_key[1:] != sorted_key[:-1]])
     run_start = jax.lax.cummax(jnp.where(first, ranks, 0))
     slot = ranks - run_start
+    cap_p = _cap_pad(cap)
     ok = (slot < cap) & sorted_active
-    flat = jnp.where(ok, slot * L + PAD + sorted_key, cap * L)
+    flat = jnp.where(ok, slot * L + PAD + sorted_key, cap_p * L)
 
     rows = jnp.concatenate([pred, vel], axis=1)
     srows = jnp.take(rows, order, axis=0)
 
     def scatter(vals, fill):
-        out = jnp.full((cap * L + 1,), fill, dtype)
+        out = jnp.full((cap_p * L + 1,), fill, dtype)
         return out.at[flat].set(
             vals, mode="promise_in_bounds",
-            unique_indices=True)[:-1].reshape(cap, L)
+            unique_indices=True)[:-1].reshape(cap_p, L)
 
     planes = jnp.stack([scatter(srows[:, j], _FAR if j < dim else 0.0)
                         for j in range(2 * dim)])
 
-    counts = jnp.zeros((1, L), dtype).at[0, PAD + col].add(
-        active, mode="promise_in_bounds")
-    counts = jnp.minimum(counts, float(cap))  # see _build_slab_buckets
+    # derived occupied-slot counts — see _build_slab_buckets. The domain
+    # step re-derives these from the halo-EXCHANGED planes (free halo
+    # counts, no separate counts ppermute); this return covers callers
+    # that want local-only counts.
+    counts = jnp.sum(jnp.where(planes[0] < _FAR * 0.5, 1.0, 0.0),
+                     axis=0, dtype=dtype)[None, :]
 
     addr = jnp.zeros((n,), jnp.int32).at[order].set(flat, unique_indices=True)
     overflow = (jnp.sum(active) - jnp.sum(ok)).astype(jnp.int32)
@@ -241,12 +264,18 @@ def occupancy_bounds(counts: Array, gx: int, S_pad: int, PAD: int,
     mg = gz + 1
     own = counts[0, PAD:PAD + gx * S_pad].reshape(gx, NYC, _T).max(axis=-1)
 
-    span = counts[0, PAD - S_pad:PAD + (gx + 1) * S_pad].reshape(
-        gx + 2, S_pad)
-    cols = [jnp.max(span[:, max(0, yc * _T - mg):
-                         min(S_pad, yc * _T + _T + mg)], axis=1)
-            for yc in range(NYC)]
-    m0 = jnp.stack(cols, axis=1)
+    # chunk block-max, then the ±mg margin via the neighboring chunks' edge
+    # maxes (margins clamp at slab-row ends, like cells do) — three (gx+2,
+    # NYC) maxes instead of NYC overlapping row slices
+    blk = counts[0, PAD - S_pad:PAD + (gx + 1) * S_pad].reshape(
+        gx + 2, NYC, _T)
+    bmax = blk.max(axis=-1)
+    ledge = blk[:, :, :mg].max(axis=-1)     # first mg lanes of each chunk
+    redge = blk[:, :, _T - mg:].max(axis=-1)
+    zero = jnp.zeros_like(bmax[:, :1])
+    prev = jnp.concatenate([zero, redge[:, :-1]], axis=1)
+    nxt = jnp.concatenate([ledge[:, 1:], zero], axis=1)
+    m0 = jnp.maximum(bmax, jnp.maximum(prev, nxt))
     return (jnp.ceil(own).astype(jnp.int32),
             jnp.ceil(m0).astype(jnp.int32))
 
@@ -273,16 +302,54 @@ def _gated_window_dma(refs, scratches, sems, occs, i, yc, *, cap, S_pad,
                     cp.wait() if run_wait else cp.start()
 
 
-def _block_cond(occ_off, b, fn, carry):
-    """Run fn(carry) iff candidate block b can hold any particle."""
-    return jax.lax.cond(occ_off > 8 * b, fn, lambda c: c, carry)
+# candidate-gating knobs, picked by measurement on the settled flagship
+# (benchmarks/micro6_gating.py): structure "slab" nests the within-slab
+# offsets INSIDE each gated region (3 slab loops outer), "off" puts every
+# neighbor offset outside (27 regions per block like the reference's
+# neighborhood walk); block = gated-region row granularity. "qrow" flips
+# the axes: the query loop runs per REAL query slot (fori to occ_own, mean
+# ~2.7 — not 8-slot blocks) while each vector op covers all `block`
+# candidate slots of a gated block as one (block, _T) tile, sublane-reduced
+# per query row — ~3x fewer vector op-sets at settled occupancy with the
+# same branch count as ("slab", 8).
+# measured on the settled flagship (benchmarks/micro6_gating_results.json,
+# micro6b_results.json): density slab8 10.8 ms (qrow 13.3, off4 18.7);
+# force qrow 70.2 ms (off4 72.1, slab8 118.9, slab1 134.3)
+_DENSITY_GATE = ("slab", 8)
+_FORCE_GATE = ("qrow", 8)
+
+
+def _gated_slot_loops(occs, do_rows, *, dim, cap, gz, struct, block):
+    """Emit the gated candidate-slot loops: do_rows(rows) runs inside each
+    pl.when region with rows = [(slot, window-lane-start, is_center), ...].
+    Regions are gated on the slab-chunk occupancy bound `occs[c] > b0` —
+    rows past the bound cost nothing; within a block, rows past it are
+    _FAR-masked work."""
+    if struct == "slab":
+        for c in range(3):
+            base = c * _CLW + _M
+            for b0 in range(0, cap, block):
+                @pl.when(occs[c] > b0)
+                def _blk(c=c, b0=b0, base=base):
+                    do_rows([(b0 + rr, base + dy, c == 1 and dy == 0)
+                             for rr in range(block)
+                             for dy in _offsets_yz(dim, gz)])
+    else:
+        for off in _offsets(dim):
+            ox = off[0]
+            dy = off[1] * gz + (off[2] if dim == 3 else 0)
+            cs = (ox + 1) * _CLW + _M + dy
+            ic = all(o == 0 for o in off)
+            for b0 in range(0, cap, block):
+                @pl.when(occs[ox + 1] > b0)
+                def _blk(b0=b0, cs=cs, ic=ic):
+                    do_rows([(b0 + rr, cs, ic) for rr in range(block)])
 
 
 def _density_kernel(own_ref, m0_ref, params_ref, feats_ref, out_ref,
-                    scratch, sems, *, dim, cap, gz, S_pad):
+                    scratch, acc_scr, sems, *, dim, cap, gz, S_pad, gate):
     i = pl.program_id(0)
     yc = pl.program_id(1)
-    NB = cap // 8
     occ_own = own_ref[i, yc]
     occs = [m0_ref[i, yc], m0_ref[i + 1, yc], m0_ref[i + 2, yc]]
 
@@ -298,51 +365,103 @@ def _density_kernel(own_ref, m0_ref, params_ref, feats_ref, out_ref,
         pow3 = params_ref[0, _P_POW3]
         qs = _CLW + _M                 # window-local start of own cells
 
+        if gate[0] == "noop":
+            # diagnostic: window DMA + output writes with the pair math
+            # stubbed out — isolates the non-math floor of the pass
+            def q_body(qb, _):
+                q0 = pl.multiple_of(qb * 8, 8)
+                qpos = scratch[0, pl.ds(q0, 8), pl.ds(qs, _T)]
+                out_ref[0, pl.ds(q0, 8), :] = qpos
+                out_ref[1, pl.ds(q0, 8), :] = qpos
+                return 0
+
+            jax.lax.fori_loop(0, (occ_own + 7) // 8, q_body, 0)
+            return
+
+        if gate[0] == "qrow":
+            def q_body(q, _):
+                qsl = pl.ds(q, 1)
+                qpos = [scratch[a, qsl, pl.ds(qs, _T)] for a in range(dim)]
+                acc_scr[0] = jnp.zeros((8, _T), jnp.float32)
+                acc_scr[1] = jnp.zeros((8, _T), jnp.float32)
+
+                for c in range(3):
+                    base = c * _CLW + _M
+                    for b0 in range(0, cap, 8):
+                        @pl.when(occs[c] > b0)
+                        def _blk(c=c, b0=b0, base=base):
+                            den = acc_scr[0]
+                            nden = acc_scr[1]
+                            for dy in _offsets_yz(dim, gz):
+                                dist2 = jnp.zeros((8, _T), jnp.float32)
+                                for a in range(dim):
+                                    d_a = (scratch[a, pl.ds(b0, 8),
+                                                   pl.ds(base + dy, _T)]
+                                           - qpos[a])
+                                    dist2 = dist2 + d_a * d_a
+                                v = jnp.maximum(h - jnp.sqrt(dist2), 0.0)
+                                v2 = v * v
+                                den = den + v2 * pow2
+                                nden = nden + v2 * v * pow3
+                            acc_scr[0] = den
+                            acc_scr[1] = nden
+
+                out_ref[0, qsl, :] = (
+                    jnp.sum(acc_scr[0], axis=0, keepdims=True)
+                    + DENSITY_PADDING)
+                out_ref[1, qsl, :] = (
+                    jnp.sum(acc_scr[1], axis=0, keepdims=True)
+                    + DENSITY_PADDING)
+                return 0
+
+            jax.lax.fori_loop(0, occ_own, q_body, 0)
+            return
+
         def q_body(qb, _):
             q0 = pl.multiple_of(qb * 8, 8)
             qpos = [scratch[a, pl.ds(q0, 8), pl.ds(qs, _T)]
                     for a in range(dim)]
-            den = jnp.zeros((8, _T), jnp.float32)
-            nden = jnp.zeros((8, _T), jnp.float32)
-            for off in _offsets(dim):
-                ox = off[0]
-                dy = off[1] * gz + (off[2] if dim == 3 else 0)
-                cs = (ox + 1) * _CLW + _M + dy
-                occ_off = occs[ox + 1]
-                for b in range(NB):
-                    def blk(carry, b=b, cs=cs):
-                        den, nden = carry
-                        for rr in range(8):
-                            s = 8 * b + rr
-                            dist2 = jnp.zeros((8, _T), jnp.float32)
-                            for a in range(dim):
-                                d_a = (scratch[a, s, pl.ds(cs, _T)][None, :]
-                                       - qpos[a])
-                                dist2 = dist2 + d_a * d_a
-                            # empty slots hold _FAR -> v clamps to 0: the
-                            # distance filter IS the validity mask. Self-
-                            # interaction included, like the reference walk
-                            # (simulation.wgsl:162-183)
-                            v = jnp.maximum(h - jnp.sqrt(dist2), 0.0)
-                            v2 = v * v
-                            den = den + v2 * pow2
-                            nden = nden + v2 * v * pow3
-                        return den, nden
+            # accumulate in a VMEM scratch under pl.when gates: lax.cond
+            # with (8, _T) carries makes Mosaic shuffle the accumulators
+            # through every skipped branch; pl.when has no carries, so the
+            # accumulators RMW through VMEM per gated region
+            acc_scr[0] = jnp.zeros((8, _T), jnp.float32)
+            acc_scr[1] = jnp.zeros((8, _T), jnp.float32)
 
-                    den, nden = _block_cond(occ_off, b, blk, (den, nden))
+            def do_rows(rows):
+                den = acc_scr[0]
+                nden = acc_scr[1]
+                for s, cs, _ in rows:
+                    dist2 = jnp.zeros((8, _T), jnp.float32)
+                    for a in range(dim):
+                        d_a = (scratch[a, s, pl.ds(cs, _T)][None, :]
+                               - qpos[a])
+                        dist2 = dist2 + d_a * d_a
+                    # empty slots hold _FAR -> v clamps to 0: the distance
+                    # filter IS the validity mask. Self-interaction
+                    # included, like the reference walk (wgsl:162-183)
+                    v = jnp.maximum(h - jnp.sqrt(dist2), 0.0)
+                    v2 = v * v
+                    den = den + v2 * pow2
+                    nden = nden + v2 * v * pow3
+                acc_scr[0] = den
+                acc_scr[1] = nden
 
-            out_ref[0, pl.ds(q0, 8), :] = den + DENSITY_PADDING
-            out_ref[1, pl.ds(q0, 8), :] = nden + DENSITY_PADDING
+            _gated_slot_loops(occs, do_rows, dim=dim, cap=cap, gz=gz,
+                              struct=gate[0], block=gate[1])
+
+            out_ref[0, pl.ds(q0, 8), :] = acc_scr[0] + DENSITY_PADDING
+            out_ref[1, pl.ds(q0, 8), :] = acc_scr[1] + DENSITY_PADDING
             return 0
 
         jax.lax.fori_loop(0, (occ_own + 7) // 8, q_body, 0)
 
 
 def _force_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref, out_ref,
-                  scratch, dscratch, sems, *, dim, cap, gz, S_pad):
+                  scratch, dscratch, acc_scr, sems, *, dim, cap, gz,
+                  S_pad, gate):
     i = pl.program_id(0)
     yc = pl.program_id(1)
-    NB = cap // 8
     occ_own = own_ref[i, yc]
     occs = [m0_ref[i, yc], m0_ref[i + 1, yc], m0_ref[i + 2, yc]]
 
@@ -367,101 +486,192 @@ def _force_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref, out_ref,
         npa = params_ref[0, _P_NEAR_PRESSURE] * 0.5
         qs = _CLW + _M
 
+        if gate[0] == "noop":
+            def q_body(qb, _):
+                q0 = pl.multiple_of(qb * 8, 8)
+                qden = dscratch[0, pl.ds(q0, 8), pl.ds(qs, _T)]
+                qpos = scratch[0, pl.ds(q0, 8), pl.ds(qs, _T)]
+                out_ref[0, pl.ds(q0, 8), :] = qden
+                out_ref[1, pl.ds(q0, 8), :] = qden
+                for a in range(dim):
+                    out_ref[2 + a, pl.ds(q0, 8), :] = qpos
+                return 0
+
+            jax.lax.fori_loop(0, (occ_own + 7) // 8, q_body, 0)
+            return
+
+        if gate[0] == "qrow":
+            def q_body(q, _):
+                qsl = pl.ds(q, 1)
+                qpos = [scratch[a, qsl, pl.ds(qs, _T)] for a in range(dim)]
+                qvel = [scratch[dim + a, qsl, pl.ds(qs, _T)]
+                        for a in range(dim)]
+                qden = dscratch[0, qsl, pl.ds(qs, _T)]
+                qnden = dscratch[1, qsl, pl.ds(qs, _T)]
+                qprs = pa * qden + pb
+                qnprs = npa * qnden
+                qden_inv = jnp.where(
+                    qden > 0.0, 1.0 / jnp.where(qden > 0.0, qden, 1.0),
+                    0.0)
+                out_ref[0, qsl, :] = qden       # den passthrough
+                out_ref[1, qsl, :] = qnden      # nden passthrough
+                for a in range(dim):
+                    acc_scr[a] = jnp.zeros((8, _T), jnp.float32)
+
+                for c in range(3):
+                    base = c * _CLW + _M
+                    for b0 in range(0, cap, 8):
+                        @pl.when(occs[c] > b0)
+                        def _blk(c=c, b0=b0, base=base):
+                            bsl = pl.ds(b0, 8)
+                            slot_ids = b0 + jax.lax.broadcasted_iota(
+                                jnp.int32, (8, 1), 0)
+                            force = [acc_scr[a] for a in range(dim)]
+                            for dy in _offsets_yz(dim, gz):
+                                cs = pl.ds(base + dy, _T)
+                                disp = []
+                                dist2 = jnp.zeros((8, _T), jnp.float32)
+                                for a in range(dim):
+                                    d_a = scratch[a, bsl, cs] - qpos[a]
+                                    disp.append(d_a)
+                                    dist2 = dist2 + d_a * d_a
+                                sel = dist2 <= h2
+                                if c == 1 and dy == 0:
+                                    # self pair lives at (slot q, same
+                                    # lane) of the center tile
+                                    sel = sel & (slot_ids != q)
+                                m = jnp.where(sel, 1.0, 0.0)
+                                inv = jnp.where(
+                                    dist2 > 0.0,
+                                    jax.lax.rsqrt(jnp.where(
+                                        dist2 > 0.0, dist2, 1.0)), 0.0)
+                                dc2 = jnp.minimum(dist2, h2)
+                                dc = jnp.minimum(dc2 * inv, h)
+                                zero_dist = (dist2 == 0.0).astype(
+                                    jnp.float32)
+                                den_n = dscratch[0, bsl, cs]
+                                nden_n = dscratch[1, bsl, cs]
+                                deninv_n = 1.0 / den_n
+                                ndeninv_n = 1.0 / nden_n
+                                shared_p = qprs + (pa * den_n + pb)
+                                shared_np = qnprs + npa * nden_n
+                                v = dc - h
+                                scale = jnp.where(sel, qden_inv * (
+                                    shared_p * (v * pow2_der) * deninv_n
+                                    + shared_np * (v * v * pow3_der)
+                                    * ndeninv_n), 0.0)
+                                hv = h2 - dc2
+                                w_visc = (m * (hv * hv * hv * spikey)
+                                          * viscosity)
+                                for a in range(dim):
+                                    dir_a = disp[a] * inv
+                                    if a == 1:
+                                        dir_a = dir_a + zero_dist
+                                    vel_n = scratch[dim + a, bsl, cs]
+                                    force[a] = (force[a] + dir_a * scale
+                                                + (vel_n - qvel[a])
+                                                * w_visc)
+                            for a in range(dim):
+                                acc_scr[a] = force[a]
+
+                for a in range(dim):
+                    out_ref[2 + a, qsl, :] = jnp.sum(
+                        acc_scr[a], axis=0, keepdims=True)
+                return 0
+
+            jax.lax.fori_loop(0, occ_own, q_body, 0)
+            return
+
         def q_body(qb, _):
             q0 = pl.multiple_of(qb * 8, 8)
+            qden = dscratch[0, pl.ds(q0, 8), pl.ds(qs, _T)]
+            qnden = dscratch[1, pl.ds(q0, 8), pl.ds(qs, _T)]
+            # acc = F_pressure/rho_self + mu*F_visc: both per-query factors
+            # (1/rho_self into the pressure scale, mu into the viscosity
+            # weight) are folded into the per-pair terms so ONE accumulator
+            # set carries the whole acceleration. Query context is HOISTED
+            # out of the gated regions: measured (micro6 r3) hoisted
+            # ("slab", 8) = 74.5 ms vs 118.5 with per-region VMEM re-loads.
+            qprs = pa * qden + pb
+            qnprs = npa * qnden
+            qden_inv = jnp.where(
+                qden > 0.0, 1.0 / jnp.where(qden > 0.0, qden, 1.0), 0.0)
             qpos = [scratch[a, pl.ds(q0, 8), pl.ds(qs, _T)]
                     for a in range(dim)]
             qvel = [scratch[dim + a, pl.ds(q0, 8), pl.ds(qs, _T)]
                     for a in range(dim)]
-            qden = dscratch[0, pl.ds(q0, 8), pl.ds(qs, _T)]
-            qnden = dscratch[1, pl.ds(q0, 8), pl.ds(qs, _T)]
-            qprs = pa * qden + pb
-            qnprs = npa * qnden
-            # acc = F_pressure/rho_self + mu*F_visc: both per-query factors
-            # (1/rho_self into the pressure scale, mu into the viscosity
-            # weight) are folded into the per-pair terms so ONE accumulator
-            # set carries the whole acceleration.
-            qden_inv = jnp.where(
-                qden > 0.0, 1.0 / jnp.where(qden > 0.0, qden, 1.0), 0.0)
-            row_ids = q0 + jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
-
-            force = [jnp.zeros((8, _T), jnp.float32) for _ in range(dim)]
-            for off in _offsets(dim):
-                ox = off[0]
-                dy = off[1] * gz + (off[2] if dim == 3 else 0)
-                cs = (ox + 1) * _CLW + _M + dy
-                occ_off = occs[ox + 1]
-                is_center = all(o == 0 for o in off)
-                for b in range(NB):
-                    def blk(force, b=b, cs=cs, is_center=is_center):
-                        for rr in range(8):
-                            s = 8 * b + rr
-                            disp = []
-                            dist2 = jnp.zeros((8, _T), jnp.float32)
-                            for a in range(dim):
-                                d_a = (scratch[a, s, pl.ds(cs, _T)][None, :]
-                                       - qpos[a])
-                                disp.append(d_a)
-                                dist2 = dist2 + d_a * d_a
-                            sel = dist2 <= h2
-                            if is_center:
-                                # skip the self pair (wgsl:231-233)
-                                sel = sel & (row_ids != s)
-                            m = jnp.where(sel, 1.0, 0.0)
-
-                            # dist via rsqrt; guard d == 0 (inv, dist -> 0)
-                            inv = jnp.where(
-                                dist2 > 0.0,
-                                jax.lax.rsqrt(
-                                    jnp.where(dist2 > 0.0, dist2, 1.0)), 0.0)
-                            dc2 = jnp.minimum(dist2, h2)
-                            dc = jnp.minimum(dc2 * inv, h)
-                            zero_dist = (dist2 == 0.0).astype(jnp.float32)
-
-                            den_n = dscratch[0, s, pl.ds(cs, _T)][None, :]
-                            nden_n = dscratch[1, s, pl.ds(cs, _T)][None, :]
-                            # guards: unwritten rows above a chunk's own
-                            # occupancy hold garbage (never a true pair —
-                            # planes there are _FAR — but 1/x must not trap)
-                            deninv_n = jnp.where(
-                                den_n > 0.0,
-                                1.0 / jnp.where(den_n > 0.0, den_n, 1.0), 0.0)
-                            ndeninv_n = jnp.where(
-                                nden_n > 0.0,
-                                1.0 / jnp.where(nden_n > 0.0, nden_n, 1.0),
-                                0.0)
-
-                            shared_p = qprs + (pa * den_n + pb)
-                            shared_np = qnprs + npa * nden_n
-                            v = dc - h
-                            # SELECT, not mask-multiply: den_n of rows above
-                            # a chunk's own occupancy is unwritten garbage
-                            # (possibly NaN), always distance-masked — but
-                            # 0 * NaN = NaN, where() discards it
-                            scale = jnp.where(sel, qden_inv * (
-                                shared_p * (v * pow2_der) * deninv_n
-                                + shared_np * (v * v * pow3_der)
-                                * ndeninv_n), 0.0)
-                            hv = h2 - dc2
-                            w_visc = m * (hv * hv * hv * spikey) * viscosity
-
-                            for a in range(dim):
-                                dir_a = disp[a] * inv
-                                if a == 1:
-                                    # +y fallback at d == 0 (wgsl:243-248)
-                                    dir_a = dir_a + zero_dist
-                                vel_n = scratch[dim + a, s,
-                                                pl.ds(cs, _T)][None, :]
-                                force[a] = (force[a] + dir_a * scale
-                                            + (vel_n - qvel[a]) * w_visc)
-                        return force
-
-                    force = _block_cond(occ_off, b, blk, force)
-
             out_ref[0, pl.ds(q0, 8), :] = qden      # den passthrough
             out_ref[1, pl.ds(q0, 8), :] = qnden     # nden passthrough
+
             for a in range(dim):
-                out_ref[2 + a, pl.ds(q0, 8), :] = force[a]
+                acc_scr[a] = jnp.zeros((8, _T), jnp.float32)
+
+            def do_rows(rows):
+                row_ids = q0 + jax.lax.broadcasted_iota(
+                    jnp.int32, (8, 1), 0)
+                force = [acc_scr[a] for a in range(dim)]
+                for s, cs, is_center in rows:
+                    disp = []
+                    dist2 = jnp.zeros((8, _T), jnp.float32)
+                    for a in range(dim):
+                        d_a = (scratch[a, s, pl.ds(cs, _T)][None, :]
+                               - qpos[a])
+                        disp.append(d_a)
+                        dist2 = dist2 + d_a * d_a
+                    sel = dist2 <= h2
+                    if is_center:
+                        # skip the self pair (wgsl:231-233)
+                        sel = sel & (row_ids != s)
+                    m = jnp.where(sel, 1.0, 0.0)
+
+                    # dist via rsqrt; guard d == 0 (inv, dist -> 0)
+                    inv = jnp.where(
+                        dist2 > 0.0,
+                        jax.lax.rsqrt(
+                            jnp.where(dist2 > 0.0, dist2, 1.0)), 0.0)
+                    dc2 = jnp.minimum(dist2, h2)
+                    dc = jnp.minimum(dc2 * inv, h)
+                    zero_dist = (dist2 == 0.0).astype(jnp.float32)
+
+                    den_n = dscratch[0, s, pl.ds(cs, _T)][None, :]
+                    nden_n = dscratch[1, s, pl.ds(cs, _T)][None, :]
+                    # no zero/garbage guard needed: any pair whose den_n is
+                    # unwritten garbage or padding is discarded by the
+                    # select on `scale` below, and written rows hold
+                    # >= DENSITY_PADDING
+                    deninv_n = 1.0 / den_n
+                    ndeninv_n = 1.0 / nden_n
+
+                    shared_p = qprs + (pa * den_n + pb)
+                    shared_np = qnprs + npa * nden_n
+                    v = dc - h
+                    # SELECT, not mask-multiply: den_n of rows above a
+                    # chunk's own occupancy is unwritten garbage (possibly
+                    # NaN), always distance-masked — but 0 * NaN = NaN,
+                    # where() discards it
+                    scale = jnp.where(sel, qden_inv * (
+                        shared_p * (v * pow2_der) * deninv_n
+                        + shared_np * (v * v * pow3_der)
+                        * ndeninv_n), 0.0)
+                    hv = h2 - dc2
+                    w_visc = m * (hv * hv * hv * spikey) * viscosity
+
+                    for a in range(dim):
+                        dir_a = disp[a] * inv
+                        if a == 1:
+                            # +y fallback at d == 0 (wgsl:243-248)
+                            dir_a = dir_a + zero_dist
+                        vel_n = scratch[dim + a, s, pl.ds(cs, _T)][None, :]
+                        force[a] = (force[a] + dir_a * scale
+                                    + (vel_n - qvel[a]) * w_visc)
+                for a in range(dim):
+                    acc_scr[a] = force[a]
+
+            _gated_slot_loops(occs, do_rows, dim=dim, cap=cap, gz=gz,
+                              struct=gate[0], block=gate[1])
+
+            for a in range(dim):
+                out_ref[2 + a, pl.ds(q0, 8), :] = acc_scr[a]
             return 0
 
         jax.lax.fori_loop(0, (occ_own + 7) // 8, q_body, 0)
@@ -482,12 +692,12 @@ def _param_vector(params: SimParams, coeffs: KernelCoeffs) -> Array:
     return v
 
 
-def _run_density(planes, own, m0, params_vec, cfg, interpret):
+def _run_density(planes, own, m0, params_vec, cfg, interpret, gate=None):
     gx, gy, gz, S, S_pad, NYC, PAD, L = _geometry(cfg)
-    dim, cap = cfg.dim, cfg.cell_capacity
+    dim, cap = cfg.dim, _cap_pad(cfg.cell_capacity)
     NB = cap // 8
     body = functools.partial(_density_kernel, dim=dim, cap=cap, gz=gz,
-                             S_pad=S_pad)
+                             S_pad=S_pad, gate=gate or _DENSITY_GATE)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(gx, NYC),
@@ -502,6 +712,7 @@ def _run_density(planes, own, m0, params_vec, cfg, interpret):
             memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((dim, cap, 3 * _CLW), jnp.float32),
+            pltpu.VMEM((2, 8, _T), jnp.float32),
             pltpu.SemaphoreType.DMA((3, NB, 1)),
         ],
     )
@@ -515,12 +726,12 @@ def _run_density(planes, own, m0, params_vec, cfg, interpret):
     )(own, m0, params_vec, planes[:dim])
 
 
-def _run_force(planes, dens, own, m0, params_vec, cfg, interpret):
+def _run_force(planes, dens, own, m0, params_vec, cfg, interpret, gate=None):
     gx, gy, gz, S, S_pad, NYC, PAD, L = _geometry(cfg)
-    dim, cap = cfg.dim, cfg.cell_capacity
+    dim, cap = cfg.dim, _cap_pad(cfg.cell_capacity)
     NB = cap // 8
     body = functools.partial(_force_kernel, dim=dim, cap=cap, gz=gz,
-                             S_pad=S_pad)
+                             S_pad=S_pad, gate=gate or _FORCE_GATE)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(gx, NYC),
@@ -537,6 +748,7 @@ def _run_force(planes, dens, own, m0, params_vec, cfg, interpret):
         scratch_shapes=[
             pltpu.VMEM((2 * dim, cap, 3 * _CLW), jnp.float32),
             pltpu.VMEM((2, cap, 3 * _CLW), jnp.float32),
+            pltpu.VMEM((dim, 8, _T), jnp.float32),
             pltpu.SemaphoreType.DMA((3, NB, 2)),
         ],
     )
@@ -548,6 +760,23 @@ def _run_force(planes, dens, own, m0, params_vec, cfg, interpret):
             vmem_limit_bytes=64 * 2**20),
         interpret=interpret,
     )(own, m0, params_vec, planes, dens)
+
+
+def gather_results(out_c: Array, addr: Array, dropped: Array, params):
+    """ONE multi-feature gather brings all results back to particle order:
+    gather cost on v5e is per-index (~13ns), nearly independent of the
+    (F, 1) window width (benchmarks/micro2_tpu_results.json) — the force
+    kernel passes den/nden through so den+nden+acc ride a single gather.
+    Dropped particles (sentinel addr) read a clamped row and get fill
+    values via a select — appending a fills column would copy the whole
+    (2+dim, cap·L) result array."""
+    dim = out_c.shape[0] - 2
+    safe = jnp.minimum(addr, out_c.shape[1] * out_c.shape[2] - 1)
+    out = out_c.reshape(2 + dim, -1)[:, safe]        # (2+dim, n)
+    den = jnp.where(dropped, params.target_density, out[0])
+    nden = jnp.where(dropped, DENSITY_PADDING, out[1])
+    acc = jnp.where(dropped[:, None], 0.0, out[2:].T)
+    return den, nden, acc
 
 
 def bucket_sph(predicted: Array, vel: Array, params: SimParams,
@@ -572,7 +801,7 @@ def bucket_sph(predicted: Array, vel: Array, params: SimParams,
 
     dens = _run_density(planes, own, m0, params_vec, cfg, interpret)
 
-    dropped = addr == cap * L
+    dropped = addr == _cap_pad(cap) * L
     if cfg.rescue_capacity > 0:
         # exact overflow rescue (ops/rescue.py): correct densities BEFORE
         # the force pass. All of it — including the per-particle density
@@ -614,17 +843,7 @@ def bucket_sph(predicted: Array, vel: Array, params: SimParams,
 
     out_c = _run_force(planes, dens, own, m0, params_vec, cfg, interpret)
 
-    # ONE multi-feature gather brings all results back to particle order:
-    # gather cost on v5e is per-index (~13ns), nearly independent of the
-    # (F, 1) window width (benchmarks/micro2_tpu_results.json) — the force
-    # kernel passes den/nden through so den+nden+acc ride a single gather.
-    fills = jnp.asarray(
-        [params.target_density, DENSITY_PADDING] + [0.0] * dim, out_c.dtype)
-    stacked = jnp.concatenate(
-        [out_c.reshape(2 + dim, -1), fills[:, None]], axis=1)
-    out = stacked[:, addr]                           # (2+dim, n)
-    den, nden = out[0], out[1]
-    acc = out[2:].T
+    den, nden, acc = gather_results(out_c, addr, dropped, params)
 
     if rescued is not None:
         den = jnp.where(rescued, den_r, den)
