@@ -85,3 +85,86 @@ def test_migration_moves_particles_between_devices():
     assert float(lost) == 0.0
     assert per_dev_after.sum() == cfg.n
     assert not np.array_equal(per_dev_before, per_dev_after)
+
+
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_domain_rescue_matches_single_device(use_pallas):
+    """VERDICT r2 item 3: the single-chip guarantee — no particle is ever
+    silently dropped from the physics — must hold multi-chip. Force heavy
+    capacity overflow (cell_capacity=2) and require the domain step to
+    match the single-device rescue path exactly: every dropped particle's
+    pairs (including cross-device ones) must be computed somewhere."""
+    cfg, params, state = setup()
+    cfg = dataclasses.replace(cfg, cell_capacity=2, rescue_capacity=512)
+    mesh = mesh_mod.make_mesh(8)
+
+    s_single = state
+    for _ in range(6):
+        s_single = step_mod.step(s_single, params, cfg)
+    assert float(np.asarray(s_single.overflow_total)) == 0.0, (
+        "single-device rescue must cover the forced overflow for this "
+        "comparison to be exact")
+
+    sharded, active = domain.shard_state(state, mesh, cfg, params, slack=8.0)
+    step_fn = domain.make_domain_step(mesh, cfg, use_pallas=use_pallas,
+                                      rescue_cap=256)
+    ovf_total = 0.0
+    for _ in range(6):
+        sharded, active, lost = step_fn(sharded, active, params)
+        ovf_total += float(np.asarray(sharded.overflow))
+    assert ovf_total == 0.0, "beyond-budget overflow in the domain rescue"
+
+    pos_sh, vel_sh = domain.gather_dense(sharded, active)
+    assert pos_sh.shape[0] == cfg.n
+    assert_same_point_set(pos_sh, s_single.pos)
+
+
+def test_domain_straggler_error_confined_to_boundaries():
+    """VERDICT r2 item 4: quantify the straggler hole. With migration
+    disabled (mig_cap=0), particles that cross slab boundaries become
+    stragglers clamped into the boundary slab; their densities may miss
+    neighbors deeper than the one-slab halo. The documented bound: the
+    error is confined to particles near slab boundaries — everyone else
+    matches single-device exactly. (With migration ON — the default — the
+    matching test above shows there is no straggler error at all, since
+    migration runs every step and fluids move far less than a slab per
+    step.)"""
+    cfg, params, state = setup()
+    mesh = mesh_mod.make_mesh(8)
+    # strong rightward flow so slab crossings definitely happen
+    state = dataclasses.replace(
+        state, vel=jnp.zeros_like(state.vel).at[:, 0].set(3.0))
+
+    s_single = state
+    for _ in range(5):
+        s_single = step_mod.step(s_single, params, cfg)
+
+    sharded, active = domain.shard_state(state, mesh, cfg, params, slack=8.0)
+    step_fn = domain.make_domain_step(mesh, cfg, mig_cap=0)
+    for _ in range(5):
+        sharded, active, _ = step_fn(sharded, active, params)
+
+    pos_sh, _ = domain.gather_dense(sharded, active)
+    pos_1, den_1 = np.asarray(s_single.pos), np.asarray(s_single.density)
+    den_sh = np.asarray(sharded.density)[np.asarray(active) > 0]
+
+    # slab-boundary x planes of the 8-way split of the 24-cell grid
+    origin = np.asarray(domain._grid_origin_static(params, cfg))
+    h = float(np.asarray(params.smoothing_radius))
+    gx_loc = cfg.grid_dims[0] // 8
+    bounds = origin[0] + h * gx_loc * np.arange(1, 8)
+
+    mismatched = 0
+    for r, d in zip(pos_sh, den_sh):
+        j = np.abs(pos_1 - r).sum(axis=1).argmin()
+        pos_err = np.abs(pos_1[j] - r).sum()
+        den_err = abs(den_1[j] - d) / den_1[j]
+        if pos_err > 1e-3 or den_err > 1e-3:
+            mismatched += 1
+            # every mismatch must sit near a slab boundary (within the
+            # one-cell straggler reach + smoothing radius)
+            assert np.min(np.abs(bounds - r[0])) < 2 * h + 3.0 * (1 / 60), (
+                f"straggler error leaked to interior particle at {r}")
+    # the flow really does produce stragglers in this setup; if not, the
+    # test is vacuous
+    assert mismatched > 0

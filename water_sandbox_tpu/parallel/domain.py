@@ -189,8 +189,12 @@ def _exchange_halo(planes: Array, S: int, axis: str) -> Array:
     return jnp.concatenate([from_left, planes, from_right], axis=-1)
 
 
-def _sph_local(pred, vel, active, params, coeffs, cfg, gx_loc, axis):
-    """Density + force for local particles with halo-correct neighbor data."""
+def _sph_local(pred, vel, active, params, coeffs, cfg, gx_loc, axis,
+               rescue_cap=256):
+    """Density + force for local particles with halo-correct neighbor data.
+
+    Capacity-overflow rescue mirrors _sph_local_pallas (same common core,
+    cond-gated on pmax(overflow))."""
     me = jax.lax.axis_index(axis)
     origin = _grid_origin_static(params, cfg)
     cell_pos, cell_vel, cell_mask, addr, overflow, S = _local_buckets(
@@ -201,6 +205,8 @@ def _sph_local(pred, vel, active, params, coeffs, cfg, gx_loc, axis):
     ext_cfg = dataclasses.replace(cfg, grid_dims=ext_dims)
     nc_loc = gx_loc * S
     dim = cfg.dim
+    cap = cfg.cell_capacity
+    Pn = pred.shape[0]
 
     pm = jnp.concatenate([cell_pos, cell_mask[None]], axis=0)
     pm_ext = _exchange_halo(pm, S, axis)
@@ -215,8 +221,49 @@ def _sph_local(pred, vel, active, params, coeffs, cfg, gx_loc, axis):
     # *computed* density planes so the force pass sees exact halo densities.
     den_c = den_e[:, S:S + nc_loc]
     nden_c = nden_e[:, S:S + nc_loc]
-    prs_c = prs_e[:, S:S + nc_loc]
-    nprs_c = nprs_e[:, S:S + nc_loc]
+
+    dropped = (addr == cap * nc_loc) & (active > 0)
+    rescue_on = cfg.rescue_capacity > 0
+    R = min(rescue_cap, cfg.rescue_capacity or 1, Pn)
+    ovf_any = jax.lax.pmax(overflow, axis) > 0
+
+    def halo_pos():
+        hp = jnp.concatenate([pm_ext[:dim, :, :S], pm_ext[:dim, :, -S:]],
+                             axis=-1)
+        return hp.reshape(dim, -1).T  # (2*cap*S, dim)
+
+    if rescue_on:
+        def ph1(den_c, nden_c):
+            den_p = grid_mod._from_cells(den_c, addr,
+                                         params.target_density)
+            nden_p = grid_mod._from_cells(nden_c, addr, DENSITY_PADDING)
+            den_p, nden_p, odata, rescued, unres = _rescue_density_common(
+                pred, vel, active, dropped, den_p, nden_p, halo_pos(),
+                params, coeffs, R, axis, cfg.chunk)
+            den_c = den_c.reshape(-1).at[addr].set(
+                den_p, mode="drop").reshape(cap, nc_loc)
+            nden_c = nden_c.reshape(-1).at[addr].set(
+                nden_p, mode="drop").reshape(cap, nc_loc)
+            return den_c, nden_c, odata, rescued, den_p, nden_p, unres
+
+        def ph1_skip(den_c, nden_c):
+            odata = {"order": jnp.zeros((R,), jnp.int32),
+                     "valid": jnp.zeros((R,), bool),
+                     "pos": jnp.full((R, dim), _FAR, pred.dtype),
+                     "vel": jnp.zeros((R, dim), pred.dtype),
+                     "den": jnp.zeros((R,), pred.dtype),
+                     "nden": jnp.zeros((R,), pred.dtype)}
+            zeros = jnp.zeros((Pn,), pred.dtype)
+            return (den_c, nden_c, odata, jnp.zeros((Pn,), bool), zeros,
+                    zeros, overflow)
+
+        den_c, nden_c, odata, rescued, den_r, nden_r, unres = jax.lax.cond(
+            ovf_any, ph1, ph1_skip, den_c, nden_c)
+    else:
+        unres = overflow
+
+    prs_c = params.pressure_scalar * (den_c - params.target_density)
+    nprs_c = params.near_pressure_scalar * nden_c
     dfields = jnp.stack([den_c, nden_c, prs_c, nprs_c], axis=0)
     dfields_e = _exchange_halo(dfields, S, axis)
     # guard the halo divide: zero-mask halo slots carry density 0 on edge
@@ -235,10 +282,29 @@ def _sph_local(pred, vel, active, params, coeffs, cfg, gx_loc, axis):
 
     den = grid_mod._from_cells(den_c, addr, params.target_density)
     nden = grid_mod._from_cells(nden_c, addr, DENSITY_PADDING)
-    prs = grid_mod._from_cells(prs_c, addr, 0.0)
-    nprs = grid_mod._from_cells(nprs_c, addr, 0.0)
     acc = grid_mod._from_cells(acc_c, addr, 0.0)
-    return den, nden, prs, nprs, acc, overflow
+
+    if rescue_on:
+        den = jnp.where(rescued, den_r, den)
+        nden = jnp.where(rescued, nden_r, nden)
+
+        def ph2(acc):
+            hvel = jnp.concatenate([v_ext[:, :, :S], v_ext[:, :, -S:]],
+                                   axis=-1).reshape(dim, -1).T
+            hde = jnp.concatenate(
+                [dfields_e[:2, :, :S], dfields_e[:2, :, -S:]],
+                axis=-1).reshape(2, -1)
+            halo = {"pos": halo_pos(), "vel": hvel,
+                    "den": hde[0], "nden": hde[1]}
+            return _rescue_force_common(
+                acc, pred, vel, active, dropped, den, nden, odata, rescued,
+                halo, params, coeffs, axis, cfg.chunk)
+
+        acc = jax.lax.cond(ovf_any, ph2, lambda a: a, acc)
+
+    prs = params.pressure_scalar * (den - params.target_density)
+    nprs = params.near_pressure_scalar * nden
+    return den, nden, prs, nprs, acc, unres
 
 
 def _exchange_halo_slabs(planes: Array, gx_loc: int, S_pad: int, PAD: int,
@@ -264,10 +330,16 @@ def _exchange_halo_slabs(planes: Array, gx_loc: int, S_pad: int, PAD: int,
 
 
 def _sph_local_pallas(pred, vel, active, params, coeffs, cfg, gx_loc, axis,
-                      interpret):
+                      interpret, rescue_cap=256):
     """_sph_local with the fused Pallas kernels: per-device slab-padded
     buckets, boundary slabs ppermuted into the layout's pad regions, density
-    computed locally then its boundary slabs exchanged for the force pass."""
+    computed locally then its boundary slabs exchanged for the force pass.
+
+    With cfg.rescue_capacity > 0, capacity-overflow particles get the EXACT
+    rescue (same contract as the single-chip path, ops/rescue.py) — up to
+    `rescue_cap` per device per step, with dropped rows ppermuted to both
+    neighbors so cross-device pairs are exact too. The whole rescue runs
+    under a pmax(overflow) > 0 cond: overflow-free steps pay one psum."""
     from ..ops.pallas import sph_bucket as sb
 
     me = jax.lax.axis_index(axis)
@@ -276,38 +348,396 @@ def _sph_local_pallas(pred, vel, active, params, coeffs, cfg, gx_loc, axis,
     cfg_loc = dataclasses.replace(
         cfg, grid_dims=(gx_loc,) + cfg.grid_dims[1:])
     _, _, gz, S, S_pad, NYC, PAD, L = sb._geometry(cfg_loc)
+    cap_p = sb._cap_pad(cfg_loc.cell_capacity)
+    Pn = pred.shape[0]
 
     planes, counts, addr_out, overflow = sb.build_local_slab_buckets(
         pred, vel, active, origin, gx_loc, me, params, cfg_loc)
 
-    # one exchange carries the pos+vel boundary slabs; the counts row rides
-    # in a second (1, 1, L) exchange
+    # one exchange carries the pos+vel boundary slabs; halo counts come for
+    # free by re-deriving the occupied-slot counts from the EXCHANGED
+    # position plane (no separate counts ppermute)
     feats = _exchange_halo_slabs(planes, gx_loc, S_pad, PAD, axis)
-    counts = _exchange_halo_slabs(counts[None], gx_loc, S_pad, PAD,
-                                  axis)[0]
-    # m0 rows 0 / gx_loc+1 read the pad regions the halo counts landed in,
-    # so candidate-block gating covers halo neighbors; queries (gated by
+    counts = jnp.sum(jnp.where(feats[0] < sb._FAR * 0.5, 1.0, 0.0),
+                     axis=0, dtype=feats.dtype)[None, :]
+    # m0 rows 0 / gx_loc+1 read the pad regions the halo slabs landed in,
+    # so candidate-row gating covers halo neighbors; queries (gated by
     # `own`) stay local-only — forces are computed by the owner device.
     own, m0 = sb.occupancy_bounds(counts, gx_loc, S_pad, PAD, gz)
     pv = sb._param_vector(params, coeffs)
 
     dens = sb._run_density(feats, own, m0, pv, cfg_loc, interpret)
+
+    dropped = (addr_out == cap_p * L) & (active > 0)
+    rescue_on = cfg.rescue_capacity > 0
+    R = min(rescue_cap, cfg.rescue_capacity or 1, Pn)
+    ovf_any = jax.lax.pmax(overflow, axis) > 0
+
+    if rescue_on:
+        def halo_pos():
+            hp = _halo_pseudo(feats[:dim], gx_loc, S_pad, PAD, dim)
+            return hp.T  # (Hn, dim)
+
+        def ph1(dens):
+            safe = jnp.minimum(addr_out, cap_p * L - 1)
+            dflat = dens.reshape(2, -1)
+            invalid = dropped | (active <= 0)
+            den_p = jnp.where(invalid, params.target_density,
+                              dflat[0, safe])
+            nden_p = jnp.where(invalid, DENSITY_PADDING, dflat[1, safe])
+            den_p, nden_p, odata, rescued, unres = _rescue_density_common(
+                pred, vel, active, dropped, den_p, nden_p, halo_pos(),
+                params, coeffs, R, axis, cfg.chunk)
+            # corrected resident densities must be visible to the force
+            # pass and to the neighbors' force passes (exchange is next);
+            # dropped/inactive rows carry the sentinel addr -> mode=drop
+            dflat = dflat.at[0, addr_out].set(den_p, mode="drop")
+            dflat = dflat.at[1, addr_out].set(nden_p, mode="drop")
+            return (dflat.reshape(dens.shape), odata, rescued,
+                    den_p, nden_p, unres)
+
+        def ph1_skip(dens):
+            odata = {"order": jnp.zeros((R,), jnp.int32),
+                     "valid": jnp.zeros((R,), bool),
+                     "pos": jnp.full((R, dim), _FAR, pred.dtype),
+                     "vel": jnp.zeros((R, dim), pred.dtype),
+                     "den": jnp.zeros((R,), pred.dtype),
+                     "nden": jnp.zeros((R,), pred.dtype)}
+            zeros = jnp.zeros((Pn,), pred.dtype)
+            return (dens, odata, jnp.zeros((Pn,), bool), zeros, zeros,
+                    overflow)
+
+        dens, odata, rescued, den_r, nden_r, unres = jax.lax.cond(
+            ovf_any, ph1, ph1_skip, dens)
+    else:
+        unres = overflow
+
     # halo densities are the neighbors' locally-exact results
     dens = _exchange_halo_slabs(dens, gx_loc, S_pad, PAD, axis)
 
     out_c = sb._run_force(feats, dens, own, m0, pv, cfg_loc, interpret)
 
     # one multi-feature gather back to particle order (see bucket_sph)
-    fills = jnp.asarray(
-        [params.target_density, DENSITY_PADDING] + [0.0] * dim, out_c.dtype)
-    stacked = jnp.concatenate(
-        [out_c.reshape(2 + dim, -1), fills[:, None]], axis=1)
-    out = stacked[:, addr_out]
-    den, nden = out[0], out[1]
-    acc = out[2:].T
+    den, nden, acc = sb.gather_results(out_c, addr_out,
+                                       dropped | (active <= 0), params)
+
+    if rescue_on:
+        den = jnp.where(rescued, den_r, den)
+        nden = jnp.where(rescued, nden_r, nden)
+
+        def ph2(acc):
+            # halo pseudo-particles with their (exchanged, corrected)
+            # densities for the pair-force formulas
+            hvel = _halo_pseudo(feats[dim:2 * dim], gx_loc, S_pad, PAD,
+                                dim).T
+            hdens = _halo_pseudo(dens, gx_loc, S_pad, PAD, dim)
+            halo = {"pos": halo_pos(), "vel": hvel,
+                    "den": hdens[0], "nden": hdens[1]}
+            return _rescue_force_common(
+                acc, pred, vel, active, dropped, den, nden, odata, rescued,
+                halo, params, coeffs, axis, cfg.chunk)
+
+        acc = jax.lax.cond(ovf_any, ph2, lambda a: a, acc)
+        overflow = unres
+
     prs = params.pressure_scalar * (den - params.target_density)
     nprs = params.near_pressure_scalar * nden
     return den, nden, prs, nprs, acc, overflow
+
+
+# --------------------------------------------------------------------------
+# exact capacity-overflow rescue, domain-decomposed (VERDICT r2 item 3)
+# --------------------------------------------------------------------------
+#
+# The single-chip contract (ops/rescue.py): NO particle is ever silently
+# dropped from the physics — cell-capacity overflow gets a dense sweep and
+# its pair contributions are injected back on both sides. Multi-chip, a
+# dropped particle's neighbors can live on the adjacent device, and a local
+# particle's density can depend on a NEIGHBOR's dropped particle. Scheme:
+#
+# 1. each device packs up to R dropped rows (pos, vel) and ppermutes them to
+#    both mesh neighbors;
+# 2. density rescue: one sweep of [mine + from-left + from-right] dropped
+#    queries against the LOCAL particle array (query-side sums for my rows,
+#    candidate-side corrections for local residents), plus a second sweep of
+#    my dropped rows against the halo-slab pseudo-particles (the exchanged
+#    boundary bucket planes) — together covering every pair a dropped
+#    particle has within the local + one-slab-halo window. Corrected
+#    densities are scattered back into the planes BEFORE the density
+#    exchange, so neighbors' force passes see them;
+# 3. the dropped rows' corrected (den, nden) are ppermuted to the neighbors;
+# 4. force rescue mirrors (2) with the pair-force formulas, adding
+#    corrections to my residents from mine + the neighbors' dropped rows.
+#
+# Beyond-budget overflow stays dropped and loudly counted (psum'd), exactly
+# like the single-chip budget tier. Like the straggler bound, a dropped
+# particle at the far edge of the halo window misses neighbors deeper than
+# one slab — the same one-slab locality assumption the whole domain step
+# rests on (fluids move ≤ one slab per step; migration runs every step).
+
+def _pack_dropped(pred, vel, dropped, R):
+    """First R dropped rows (stable order): local indices, validity, and
+    _FAR-padded feature rows."""
+    prio = jnp.where(dropped, 0, 1).astype(jnp.int32)
+    order = jnp.argsort(prio, stable=True)[:R].astype(jnp.int32)
+    valid = jnp.take(dropped, order)
+    opos = jnp.where(valid[:, None], jnp.take(pred, order, axis=0), _FAR)
+    ovel = jnp.where(valid[:, None], jnp.take(vel, order, axis=0), 0.0)
+    return order, valid, opos, ovel
+
+
+def _both_ways(tree, axis):
+    """ppermute a pytree to the right and to the left neighbor; wrapped
+    edges are invalidated by callers via the 'valid' leaf."""
+    ndev = jax.lax.axis_size(axis)
+    me = jax.lax.axis_index(axis)
+    from_left = jax.tree.map(lambda x: jax.lax.ppermute(
+        x, axis, [(d, (d + 1) % ndev) for d in range(ndev)]), tree)
+    from_right = jax.tree.map(lambda x: jax.lax.ppermute(
+        x, axis, [(d, (d - 1) % ndev) for d in range(ndev)]), tree)
+    from_left["valid"] = jnp.where(me == 0, False, from_left["valid"])
+    from_right["valid"] = jnp.where(me == ndev - 1, False,
+                                    from_right["valid"])
+    return from_left, from_right
+
+
+def _halo_pseudo(planes, gx_loc, S_pad, PAD, dim):
+    """Flatten the two halo-slab regions of (F, cap, L) planes into
+    (F, 2·cap·S_pad) pseudo-particle feature rows (empty slots _FAR)."""
+    lo = planes[:, :, PAD - S_pad:PAD]
+    hi = planes[:, :, PAD + gx_loc * S_pad:PAD + (gx_loc + 1) * S_pad]
+    return jnp.concatenate(
+        [lo.reshape(planes.shape[0], -1), hi.reshape(planes.shape[0], -1)],
+        axis=-1)
+
+
+def _pad_chunks_arr(arr, chunk, fill):
+    n = arr.shape[0]
+    n_pad = -(-n // chunk) * chunk
+    if n_pad != n:
+        block = jnp.full((n_pad - n,) + arr.shape[1:], fill, arr.dtype)
+        arr = jnp.concatenate([arr, block], axis=0)
+    return arr.reshape((n_pad // chunk, chunk) + arr.shape[1:])
+
+
+def _density_sweep(opos, cand_groups, params, coeffs, chunk,
+                   want_corrections=False):
+    """Chunked dense density sweep: queries (O, dim) vs each candidate
+    group {'pos': (C, dim)}. Returns query-side (den_o, nden_o) sums and —
+    for the FIRST group only, when asked — per-candidate corrections
+    (contributions of all queries to that candidate)."""
+    from ..ops import kernels
+    h = params.smoothing_radius
+    O = opos.shape[0]
+    dt = opos.dtype
+    den_o = jnp.zeros((O,), dt)
+    nden_o = jnp.zeros((O,), dt)
+    corrections = None
+    for gi, grp in enumerate(cand_groups):
+        cpos_all = grp["pos"]
+        nC = cpos_all.shape[0]
+        chunks = _pad_chunks_arr(cpos_all, chunk, _FAR)
+
+        def body(carry, cpos):
+            d_o, nd_o = carry
+            d2 = jnp.sum((opos[:, None, :] - cpos[None, :, :]) ** 2, -1)
+            dist = jnp.sqrt(jnp.minimum(d2, jnp.asarray(_FAR, dt)))
+            m = jnp.where(dist <= h, 1.0, 0.0)
+            dc = jnp.minimum(dist, h)
+            w = m * kernels.w_density(dc, h, coeffs)
+            wn = m * kernels.w_near(dc, h, coeffs)
+            return ((d_o + jnp.sum(w, 1), nd_o + jnp.sum(wn, 1)),
+                    (jnp.sum(w, 0), jnp.sum(wn, 0)))
+
+        (den_o, nden_o), (cw, cwn) = jax.lax.scan(
+            body, (den_o, nden_o), chunks)
+        if gi == 0 and want_corrections:
+            corrections = (cw.reshape(-1)[:nC], cwn.reshape(-1)[:nC])
+    return den_o, nden_o, corrections
+
+
+def _force_sweep(q, cand_groups, params, coeffs, chunk,
+                 want_corrections=False):
+    """Chunked dense pair-force sweep (simulation.wgsl:198-269 formulas,
+    mirroring ops/rescue.py::force_rescue). q: dict of query rows (pos, vel,
+    den, nden, prs, nprs, id). Candidate groups: dicts with the same
+    per-row features plus id (id -2 = padding, -3 = excluded beyond-budget
+    rows). Returns query-side (pf_o, vf_o) and, for the first group when
+    asked, per-candidate (pf_j, vf_j) corrections."""
+    from ..ops import kernels
+    h = params.smoothing_radius
+    O, dim = q["pos"].shape
+    dt = q["pos"].dtype
+    up = jnp.zeros((dim,), dt).at[1].set(1.0)
+    pf_o = jnp.zeros((O, dim), dt)
+    vf_o = jnp.zeros((O, dim), dt)
+    corrections = None
+    for gi, grp in enumerate(cand_groups):
+        nC = grp["pos"].shape[0]
+        fills = dict(pos=_FAR, vel=0.0, den=1.0, nden=1.0, prs=0.0,
+                     nprs=0.0, id=-2)
+        chunks = {k: _pad_chunks_arr(grp[k], chunk, fills[k]) for k in grp}
+
+        def body(carry, ch):
+            pf, vf = carry
+            disp = ch["pos"][None, :, :] - q["pos"][:, None, :]   # o -> j
+            d2 = jnp.sum(disp * disp, axis=-1)
+            dist = jnp.sqrt(jnp.minimum(d2, jnp.asarray(_FAR, dt)))
+            m = jnp.where((dist <= h) & (q["id"][:, None] != ch["id"][None])
+                          & (ch["id"][None] != -3), 1.0, 0.0)
+            dc = jnp.minimum(dist, h)
+            safe = jnp.where(dist > 0.0, dist, 1.0)
+            dir_oj = jnp.where((dist > 0.0)[..., None],
+                               disp / safe[..., None], up)
+            shared_p = (q["prs"][:, None] + ch["prs"][None]) * 0.5
+            shared_np = (q["nprs"][:, None] + ch["nprs"][None]) * 0.5
+            dw = kernels.dw_density(dc, h, coeffs)
+            dwn = kernels.dw_near(dc, h, coeffs)
+            wv = m * kernels.w_viscosity(dc, h, coeffs)
+
+            scale_o = m * (shared_p * dw / ch["den"][None]
+                           + shared_np * dwn / ch["nden"][None])
+            pf = pf + jnp.sum(dir_oj * scale_o[..., None], axis=1)
+            vf = vf + jnp.sum((ch["vel"][None] - q["vel"][:, None])
+                              * wv[..., None], axis=1)
+
+            # force ON the candidate from the queries; both sides use +y at
+            # dist == 0, faithful to the reference's per-thread view
+            # (wgsl:243-248; ops/rescue.py:186-188)
+            dir_jo = jnp.where((dist > 0.0)[..., None], -dir_oj, up)
+            scale_j = m * (shared_p * dw / q["den"][:, None]
+                           + shared_np * dwn / q["nden"][:, None])
+            pf_j = jnp.sum(dir_jo * scale_j[..., None], axis=0)
+            vf_j = jnp.sum((q["vel"][:, None] - ch["vel"][None])
+                           * wv[..., None], axis=0)
+            return (pf, vf), (pf_j, vf_j)
+
+        (pf_o, vf_o), (pf_j, vf_j) = jax.lax.scan(body, (pf_o, vf_o), chunks)
+        if gi == 0 and want_corrections:
+            corrections = (pf_j.reshape(-1, dim)[:nC],
+                           vf_j.reshape(-1, dim)[:nC])
+    return pf_o, vf_o, corrections
+
+
+def _rescue_density_common(pred, vel, active, dropped, den_p, nden_p,
+                           halo_pos, params, coeffs, R, axis, chunk):
+    """Phase-1 rescue (path-independent core): pack + exchange dropped rows,
+    sweep [mine + neighbors'] against locals and mine against the halo
+    pseudo-particles, and return the fully-corrected per-particle
+    (den, nden) plus the data phase 2 needs.
+
+    den_p/nden_p: current per-particle densities (dropped rows hold fills).
+    Returns (den_p, nden_p, odata, rescued, unres)."""
+    Pn = pred.shape[0]
+    order, valid, opos, ovel = _pack_dropped(pred, vel, dropped, R)
+    fl, fr = _both_ways({"pos": opos, "vel": ovel, "valid": valid}, axis)
+    vall = jnp.concatenate([valid, fl["valid"], fr["valid"]])
+    opos_all = jnp.where(
+        vall[:, None],
+        jnp.concatenate([opos, fl["pos"], fr["pos"]], axis=0), _FAR)
+
+    local_pos = jnp.where((active > 0)[:, None], pred, _FAR)
+    den_all, nden_all, (cw, cwn) = _density_sweep(
+        opos_all, [{"pos": local_pos}], params, coeffs, chunk,
+        want_corrections=True)
+    # mine also see the halo pseudo-particles AND the neighbors' dropped
+    # rows (absent from the halo planes by definition)
+    nbr_pos = [jnp.where(d["valid"][:, None], d["pos"], _FAR)
+               for d in (fl, fr)]
+    den_h, nden_h, _ = _density_sweep(
+        opos, [{"pos": halo_pos}] + [{"pos": p} for p in nbr_pos],
+        params, coeffs, chunk)
+    my_den = den_all[:R] + den_h + DENSITY_PADDING
+    my_nden = nden_all[:R] + nden_h + DENSITY_PADDING
+
+    rescued = jnp.zeros((Pn,), bool).at[order].set(valid, mode="drop")
+    den_full = jnp.zeros_like(den_p).at[order].set(
+        jnp.where(valid, my_den, 0.0), mode="drop")
+    nden_full = jnp.zeros_like(nden_p).at[order].set(
+        jnp.where(valid, my_nden, 0.0), mode="drop")
+    # residents gain the dropped contributions; rescued rows take their
+    # exact sums; beyond-budget rows keep fills (counted in unres)
+    den_p = jnp.where(rescued, den_full,
+                      jnp.where(dropped, den_p, den_p + cw))
+    nden_p = jnp.where(rescued, nden_full,
+                       jnp.where(dropped, nden_p, nden_p + cwn))
+    odata = {"order": order, "valid": valid, "pos": opos, "vel": ovel,
+             "den": my_den, "nden": my_nden}
+    unres = (jnp.sum(dropped) - jnp.sum(valid)).astype(jnp.int32)
+    return den_p, nden_p, odata, rescued, unres
+
+
+def _rescue_force_common(acc, pred, vel, active, dropped, den, nden,
+                         odata, rescued, halo, params, coeffs, axis, chunk):
+    """Phase-2 rescue: pair forces for every pair involving a dropped
+    particle, both sides. `den`/`nden` are the CORRECTED per-particle
+    densities; `halo` is the pseudo-particle dict (pos, vel, den, nden).
+    Returns the corrected per-particle accelerations."""
+    Pn, dim = pred.shape
+    R = odata["order"].shape[0]
+
+    def eos(d, nd):
+        return (params.pressure_scalar * (d - params.target_density),
+                params.near_pressure_scalar * nd)
+
+    mine = {"pos": odata["pos"], "vel": odata["vel"], "den": odata["den"],
+            "nden": odata["nden"], "valid": odata["valid"]}
+    fl, fr = _both_ways(dict(mine), axis)
+
+    def qrows(d, ids):
+        prs, nprs = eos(d["den"], d["nden"])
+        v = d["valid"]
+        return {"pos": jnp.where(v[:, None], d["pos"], _FAR),
+                "vel": d["vel"],
+                "den": jnp.where(v, d["den"], 1.0),
+                "nden": jnp.where(v, d["nden"], 1.0),
+                "prs": jnp.where(v, prs, 0.0),
+                "nprs": jnp.where(v, nprs, 0.0),
+                "id": ids}
+
+    my_ids = jnp.where(odata["valid"], odata["order"], -1)
+    neg = jnp.full((R,), -1, jnp.int32)
+    q_all = jax.tree.map(
+        lambda a, b, c: jnp.concatenate([a, b, c], axis=0),
+        qrows(mine, my_ids), qrows(fl, neg), qrows(fr, neg))
+
+    iota = jnp.arange(Pn, dtype=jnp.int32)
+    unres = dropped & ~rescued
+    prs, nprs = eos(den, nden)
+    locals_grp = {
+        "pos": jnp.where((active > 0)[:, None], pred, _FAR),
+        "vel": vel,
+        "den": jnp.where(den > 0, den, 1.0),
+        "nden": jnp.where(nden > 0, nden, 1.0),
+        "prs": prs, "nprs": nprs,
+        # beyond-budget rows carry fill densities that would detonate a
+        # pair force — they are out of the physics this step (counted)
+        "id": jnp.where(active > 0, jnp.where(unres, -3, iota), -2),
+    }
+    pf_all, vf_all, (pf_j, vf_j) = _force_sweep(
+        q_all, [locals_grp], params, coeffs, chunk, want_corrections=True)
+
+    hprs, hnprs = eos(halo["den"], halo["nden"])
+    halo_grp = {"pos": halo["pos"], "vel": halo["vel"],
+                "den": jnp.where(halo["den"] > 0, halo["den"], 1.0),
+                "nden": jnp.where(halo["nden"] > 0, halo["nden"], 1.0),
+                "prs": hprs, "nprs": hnprs,
+                "id": jnp.full((halo["pos"].shape[0],), -1, jnp.int32)}
+    nbr_grps = [qrows(fl, neg), qrows(fr, neg)]
+    q_mine = jax.tree.map(lambda a: a[:R], q_all)
+    pf_h, vf_h, _ = _force_sweep(q_mine, [halo_grp] + nbr_grps, params,
+                                 coeffs, chunk)
+
+    my_den_safe = jnp.where(odata["valid"], odata["den"], 1.0)
+    acc_o = ((pf_all[:R] + pf_h) / my_den_safe[:, None]
+             + params.viscosity_strength * (vf_all[:R] + vf_h))
+    acc_full = jnp.zeros_like(acc).at[odata["order"]].set(
+        jnp.where(odata["valid"][:, None], acc_o, 0.0), mode="drop")
+    den_safe = jnp.where(den > 0, den, 1.0)
+    acc_corr = (pf_j / den_safe[:, None]
+                + params.viscosity_strength * vf_j)
+    return jnp.where(rescued[:, None], acc_full,
+                     jnp.where(dropped[:, None], acc, acc + acc_corr))
 
 
 def _migrate(state_local, active, params, cfg, gx_loc, axis, mig_cap: int):
@@ -389,7 +819,7 @@ def _migrate(state_local, active, params, cfg, gx_loc, axis, mig_cap: int):
 
 
 def make_domain_step(mesh: Mesh, cfg: SimConfig, mig_cap: int = 256,
-                     use_pallas: bool | None = None):
+                     use_pallas: bool | None = None, rescue_cap: int = 256):
     """Build the shard_map'ped step: (state, active, params) → (state, active,
     lost). State rows are sharded over the mesh; scalars replicated.
 
@@ -424,11 +854,11 @@ def make_domain_step(mesh: Mesh, cfg: SimConfig, mig_cap: int = 256,
         if use_pallas:
             den, nden, prs, nprs, acc, overflow = _sph_local_pallas(
                 state.predicted, state.vel, active, params, coeffs, cfg,
-                gx_loc, axis, interpret)
+                gx_loc, axis, interpret, rescue_cap=rescue_cap)
         else:
             den, nden, prs, nprs, acc, overflow = _sph_local(
                 state.predicted, state.vel, active, params, coeffs, cfg,
-                gx_loc, axis)
+                gx_loc, axis, rescue_cap=rescue_cap)
         t_new = state.time + params.dt
         pos, vel, predicted = integrate_mod.integrate(
             state.pos, state.vel, acc, params, t_new)
@@ -453,7 +883,8 @@ def make_domain_step(mesh: Mesh, cfg: SimConfig, mig_cap: int = 256,
 
 
 def make_domain_rollout(mesh: Mesh, cfg: SimConfig, mig_cap: int = 256,
-                        use_pallas: bool | None = None):
+                        use_pallas: bool | None = None,
+                        rescue_cap: int = 256):
     """Multi-step rollout of the domain step under one ``lax.scan`` — the
     sharded counterpart of ops.step.rollout. One dispatch per *chunk* instead
     of one per step (the reference pays one submit per frame,
@@ -463,7 +894,8 @@ def make_domain_rollout(mesh: Mesh, cfg: SimConfig, mig_cap: int = 256,
     (state, active, lost_sum)`` with donated state/active buffers and the
     per-step migration losses summed on-device.
     """
-    step = make_domain_step(mesh, cfg, mig_cap=mig_cap, use_pallas=use_pallas)
+    step = make_domain_step(mesh, cfg, mig_cap=mig_cap,
+                            use_pallas=use_pallas, rescue_cap=rescue_cap)
 
     @partial(jax.jit, static_argnums=(3,), donate_argnums=(0, 1))
     def rollout(state, active, params, num_steps: int):
