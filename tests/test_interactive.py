@@ -144,3 +144,37 @@ def test_viewer_server_roundtrip(sim):
         server.stop()
         t.join(timeout=30)
     assert not t.is_alive()
+
+
+def test_viewer_server_raster_mode(sim):
+    """Raster streaming (VERDICT r2 item 7): the 100k+ path ships an
+    on-device density/speed raster instead of a point cloud."""
+    from water_sandbox_tpu.viz.server import ViewerServer
+
+    sim.run(1)
+    sim.stats()
+    server = ViewerServer(sim, port=0, steps_per_frame=1, render="raster",
+                          raster_size=(96, 54))
+    t = threading.Thread(target=server.serve, kwargs={"max_seconds": 30.0})
+    t.start()
+    try:
+        host, port = server.httpd.server_address[:2]
+        import time
+        for _ in range(300):
+            body = urllib.request.urlopen(
+                f"http://{host}:{port}/state.json", timeout=5).read()
+            if body != b"{}":
+                break
+            time.sleep(0.1)
+        frame = json.loads(body)
+        assert frame["mode"] == "raster"
+        import base64
+        den = np.frombuffer(base64.b64decode(frame["den"]), np.uint8)
+        assert den.size == frame["rw"] * frame["rh"]
+        assert den.max() > 0  # the fluid actually shows up
+        spd = np.frombuffer(base64.b64decode(frame["spd"]), np.uint8)
+        assert spd.size == den.size
+    finally:
+        server.stop()
+        t.join(timeout=30)
+    assert not t.is_alive()

@@ -106,7 +106,8 @@ def _cmd_serve(args):
 
     sim = _make_sim(args)
     server = ViewerServer(sim, host=args.host, port=args.port,
-                          steps_per_frame=args.steps_per_frame)
+                          steps_per_frame=args.steps_per_frame,
+                          render=args.render)
     server.serve(max_seconds=args.max_seconds)
     print(json.dumps(sim.stats(), default=float))
 
@@ -175,6 +176,10 @@ def main(argv=None):
     srv.add_argument("--port", type=int, default=8787)
     srv.add_argument("--steps-per-frame", type=int, default=4)
     srv.add_argument("--max-seconds", type=float, default=None)
+    srv.add_argument("--render", default="auto",
+                     choices=("auto", "points", "raster"),
+                     help="auto: raster density streaming for 100k+ scenes "
+                     "(full fluid visible), point cloud otherwise")
 
     ren = sub.add_parser("render", help="render an exported trajectory to GIF")
     ren.add_argument("--trajectory", required=True)
