@@ -363,7 +363,23 @@ def _density_kernel(own_ref, m0_ref, params_ref, feats_ref, out_ref,
         h = params_ref[0, _P_H]
         pow2 = params_ref[0, _P_POW2]
         pow3 = params_ref[0, _P_POW3]
+        target = params_ref[0, _P_TARGET_DENSITY]
+        pa = params_ref[0, _P_PRESSURE] * 0.5
+        pb = -params_ref[0, _P_PRESSURE] * target * 0.5
+        npa = params_ref[0, _P_NEAR_PRESSURE] * 0.5
         qs = _CLW + _M                 # window-local start of own cells
+
+        def write_out(sl, den, nden):
+            # 6-plane output: den, nden, EOS half-pressures and
+            # reciprocals precomputed ONCE per particle here so the force
+            # pass pays no per-pair divides (its hot loop runs ~27x per
+            # particle) — den >= DENSITY_PADDING > 0 so both are safe
+            out_ref[0, sl, :] = den
+            out_ref[1, sl, :] = nden
+            out_ref[2, sl, :] = pa * den + pb
+            out_ref[3, sl, :] = npa * nden
+            out_ref[4, sl, :] = 1.0 / den
+            out_ref[5, sl, :] = 1.0 / nden
 
         if gate[0] == "noop":
             # diagnostic: window DMA + output writes with the pair math
@@ -371,8 +387,7 @@ def _density_kernel(own_ref, m0_ref, params_ref, feats_ref, out_ref,
             def q_body(qb, _):
                 q0 = pl.multiple_of(qb * 8, 8)
                 qpos = scratch[0, pl.ds(q0, 8), pl.ds(qs, _T)]
-                out_ref[0, pl.ds(q0, 8), :] = qpos
-                out_ref[1, pl.ds(q0, 8), :] = qpos
+                write_out(pl.ds(q0, 8), qpos, qpos)
                 return 0
 
             jax.lax.fori_loop(0, (occ_own + 7) // 8, q_body, 0)
@@ -406,10 +421,10 @@ def _density_kernel(own_ref, m0_ref, params_ref, feats_ref, out_ref,
                             acc_scr[0] = den
                             acc_scr[1] = nden
 
-                out_ref[0, qsl, :] = (
+                write_out(
+                    qsl,
                     jnp.sum(acc_scr[0], axis=0, keepdims=True)
-                    + DENSITY_PADDING)
-                out_ref[1, qsl, :] = (
+                    + DENSITY_PADDING,
                     jnp.sum(acc_scr[1], axis=0, keepdims=True)
                     + DENSITY_PADDING)
                 return 0
@@ -450,8 +465,8 @@ def _density_kernel(own_ref, m0_ref, params_ref, feats_ref, out_ref,
             _gated_slot_loops(occs, do_rows, dim=dim, cap=cap, gz=gz,
                               struct=gate[0], block=gate[1])
 
-            out_ref[0, pl.ds(q0, 8), :] = acc_scr[0] + DENSITY_PADDING
-            out_ref[1, pl.ds(q0, 8), :] = acc_scr[1] + DENSITY_PADDING
+            write_out(pl.ds(q0, 8), acc_scr[0] + DENSITY_PADDING,
+                      acc_scr[1] + DENSITY_PADDING)
             return 0
 
         jax.lax.fori_loop(0, (occ_own + 7) // 8, q_body, 0)
@@ -476,14 +491,8 @@ def _force_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref, out_ref,
         h2 = h * h
         pow2_der = params_ref[0, _P_POW2_DER]
         pow3_der = params_ref[0, _P_POW3_DER]
-        spikey = params_ref[0, _P_SPIKEY]
-        viscosity = params_ref[0, _P_VISCOSITY]
-        target = params_ref[0, _P_TARGET_DENSITY]
-        # pressures are EOS-affine in the densities — derived per row here
-        # (half-scaled: shared pressure is the pair mean, wgsl:251-259)
-        pa = params_ref[0, _P_PRESSURE] * 0.5
-        pb = -params_ref[0, _P_PRESSURE] * target * 0.5
-        npa = params_ref[0, _P_NEAR_PRESSURE] * 0.5
+        spikey_visc = (params_ref[0, _P_SPIKEY]
+                       * params_ref[0, _P_VISCOSITY])
         qs = _CLW + _M
 
         if gate[0] == "noop":
@@ -508,11 +517,11 @@ def _force_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref, out_ref,
                         for a in range(dim)]
                 qden = dscratch[0, qsl, pl.ds(qs, _T)]
                 qnden = dscratch[1, qsl, pl.ds(qs, _T)]
-                qprs = pa * qden + pb
-                qnprs = npa * qnden
-                qden_inv = jnp.where(
-                    qden > 0.0, 1.0 / jnp.where(qden > 0.0, qden, 1.0),
-                    0.0)
+                # EOS half-pressures + reciprocal precomputed by the
+                # density pass (planes 2-5) — no per-pair divides here
+                qprs = dscratch[2, qsl, pl.ds(qs, _T)]
+                qnprs = dscratch[3, qsl, pl.ds(qs, _T)]
+                qden_inv = dscratch[4, qsl, pl.ds(qs, _T)]
                 out_ref[0, qsl, :] = qden       # den passthrough
                 out_ref[1, qsl, :] = qnden      # nden passthrough
                 for a in range(dim):
@@ -529,18 +538,15 @@ def _force_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref, out_ref,
                             force = [acc_scr[a] for a in range(dim)]
                             for dy in _offsets_yz(dim, gz):
                                 cs = pl.ds(base + dy, _T)
-                                disp = []
                                 dist2 = jnp.zeros((8, _T), jnp.float32)
                                 for a in range(dim):
                                     d_a = scratch[a, bsl, cs] - qpos[a]
-                                    disp.append(d_a)
                                     dist2 = dist2 + d_a * d_a
                                 sel = dist2 <= h2
                                 if c == 1 and dy == 0:
                                     # self pair lives at (slot q, same
                                     # lane) of the center tile
                                     sel = sel & (slot_ids != q)
-                                m = jnp.where(sel, 1.0, 0.0)
                                 inv = jnp.where(
                                     dist2 > 0.0,
                                     jax.lax.rsqrt(jnp.where(
@@ -549,22 +555,22 @@ def _force_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref, out_ref,
                                 dc = jnp.minimum(dc2 * inv, h)
                                 zero_dist = (dist2 == 0.0).astype(
                                     jnp.float32)
-                                den_n = dscratch[0, bsl, cs]
-                                nden_n = dscratch[1, bsl, cs]
-                                deninv_n = 1.0 / den_n
-                                ndeninv_n = 1.0 / nden_n
-                                shared_p = qprs + (pa * den_n + pb)
-                                shared_np = qnprs + npa * nden_n
+                                shared_p = qprs + dscratch[2, bsl, cs]
+                                shared_np = qnprs + dscratch[3, bsl, cs]
                                 v = dc - h
                                 scale = jnp.where(sel, qden_inv * (
-                                    shared_p * (v * pow2_der) * deninv_n
+                                    shared_p * (v * pow2_der)
+                                    * dscratch[4, bsl, cs]
                                     + shared_np * (v * v * pow3_der)
-                                    * ndeninv_n), 0.0)
+                                    * dscratch[5, bsl, cs]), 0.0)
+                                # no viscosity mask: far pairs have
+                                # dc2 == h2 exactly -> hv = 0; the self
+                                # pair has dvel = 0
                                 hv = h2 - dc2
-                                w_visc = (m * (hv * hv * hv * spikey)
-                                          * viscosity)
+                                w_visc = (hv * hv * hv) * spikey_visc
                                 for a in range(dim):
-                                    dir_a = disp[a] * inv
+                                    dir_a = (scratch[a, bsl, cs]
+                                             - qpos[a]) * inv
                                     if a == 1:
                                         dir_a = dir_a + zero_dist
                                     vel_n = scratch[dim + a, bsl, cs]
@@ -592,10 +598,9 @@ def _force_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref, out_ref,
             # set carries the whole acceleration. Query context is HOISTED
             # out of the gated regions: measured (micro6 r3) hoisted
             # ("slab", 8) = 74.5 ms vs 118.5 with per-region VMEM re-loads.
-            qprs = pa * qden + pb
-            qnprs = npa * qnden
-            qden_inv = jnp.where(
-                qden > 0.0, 1.0 / jnp.where(qden > 0.0, qden, 1.0), 0.0)
+            qprs = dscratch[2, pl.ds(q0, 8), pl.ds(qs, _T)]
+            qnprs = dscratch[3, pl.ds(q0, 8), pl.ds(qs, _T)]
+            qden_inv = dscratch[4, pl.ds(q0, 8), pl.ds(qs, _T)]
             qpos = [scratch[a, pl.ds(q0, 8), pl.ds(qs, _T)]
                     for a in range(dim)]
             qvel = [scratch[dim + a, pl.ds(q0, 8), pl.ds(qs, _T)]
@@ -611,18 +616,15 @@ def _force_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref, out_ref,
                     jnp.int32, (8, 1), 0)
                 force = [acc_scr[a] for a in range(dim)]
                 for s, cs, is_center in rows:
-                    disp = []
                     dist2 = jnp.zeros((8, _T), jnp.float32)
                     for a in range(dim):
                         d_a = (scratch[a, s, pl.ds(cs, _T)][None, :]
                                - qpos[a])
-                        disp.append(d_a)
                         dist2 = dist2 + d_a * d_a
                     sel = dist2 <= h2
                     if is_center:
                         # skip the self pair (wgsl:231-233)
                         sel = sel & (row_ids != s)
-                    m = jnp.where(sel, 1.0, 0.0)
 
                     # dist via rsqrt; guard d == 0 (inv, dist -> 0)
                     inv = jnp.where(
@@ -633,31 +635,28 @@ def _force_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref, out_ref,
                     dc = jnp.minimum(dc2 * inv, h)
                     zero_dist = (dist2 == 0.0).astype(jnp.float32)
 
-                    den_n = dscratch[0, s, pl.ds(cs, _T)][None, :]
-                    nden_n = dscratch[1, s, pl.ds(cs, _T)][None, :]
-                    # no zero/garbage guard needed: any pair whose den_n is
-                    # unwritten garbage or padding is discarded by the
-                    # select on `scale` below, and written rows hold
-                    # >= DENSITY_PADDING
-                    deninv_n = 1.0 / den_n
-                    ndeninv_n = 1.0 / nden_n
-
-                    shared_p = qprs + (pa * den_n + pb)
-                    shared_np = qnprs + npa * nden_n
+                    # EOS half-pressures/reciprocals precomputed by the
+                    # density pass (planes 2-5). SELECT, not mask-multiply:
+                    # rows above a chunk's occupancy hold unwritten garbage
+                    # (possibly NaN), always distance-masked — but
+                    # 0 * NaN = NaN, where() discards it
+                    shared_p = qprs + dscratch[2, s, pl.ds(cs, _T)][None, :]
+                    shared_np = (qnprs
+                                 + dscratch[3, s, pl.ds(cs, _T)][None, :])
                     v = dc - h
-                    # SELECT, not mask-multiply: den_n of rows above a
-                    # chunk's own occupancy is unwritten garbage (possibly
-                    # NaN), always distance-masked — but 0 * NaN = NaN,
-                    # where() discards it
                     scale = jnp.where(sel, qden_inv * (
-                        shared_p * (v * pow2_der) * deninv_n
+                        shared_p * (v * pow2_der)
+                        * dscratch[4, s, pl.ds(cs, _T)][None, :]
                         + shared_np * (v * v * pow3_der)
-                        * ndeninv_n), 0.0)
+                        * dscratch[5, s, pl.ds(cs, _T)][None, :]), 0.0)
+                    # no viscosity mask: far pairs have dc2 == h2 exactly
+                    # -> hv = 0; the self pair has dvel = 0
                     hv = h2 - dc2
-                    w_visc = m * (hv * hv * hv * spikey) * viscosity
+                    w_visc = (hv * hv * hv) * spikey_visc
 
                     for a in range(dim):
-                        dir_a = disp[a] * inv
+                        dir_a = (scratch[a, s, pl.ds(cs, _T)][None, :]
+                                 - qpos[a]) * inv
                         if a == 1:
                             # +y fallback at d == 0 (wgsl:243-248)
                             dir_a = dir_a + zero_dist
@@ -692,6 +691,20 @@ def _param_vector(params: SimParams, coeffs: KernelCoeffs) -> Array:
     return v
 
 
+def derived_density_planes(den, nden, params: SimParams):
+    """Rows for all 6 density-output planes from corrected (den, nden):
+    (den, nden, EOS half-pressure, near half-pressure, 1/den, 1/nden) —
+    the same derivation the density kernel's write_out performs, used by
+    the rescue paths to keep planes 2-5 consistent after they scatter
+    corrected densities back into the planes (den/nden >= DENSITY_PADDING
+    so the reciprocals are safe)."""
+    pa = 0.5 * params.pressure_scalar
+    pb = -pa * params.target_density
+    npa = 0.5 * params.near_pressure_scalar
+    return jnp.stack([den, nden, pa * den + pb, npa * nden,
+                      1.0 / den, 1.0 / nden])
+
+
 def _run_density(planes, own, m0, params_vec, cfg, interpret, gate=None):
     gx, gy, gz, S, S_pad, NYC, PAD, L = _geometry(cfg)
     dim, cap = cfg.dim, _cap_pad(cfg.cell_capacity)
@@ -707,7 +720,7 @@ def _run_density(planes, own, m0, params_vec, cfg, interpret, gate=None):
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (2, cap, _T),
+            (6, cap, _T),
             lambda i, yc, *_: (0, 0, (NYC + 1) + i * NYC + yc),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -719,7 +732,7 @@ def _run_density(planes, own, m0, params_vec, cfg, interpret, gate=None):
     return pl.pallas_call(
         body,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((2, cap, L), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((6, cap, L), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 2**20),
         interpret=interpret,
@@ -747,7 +760,7 @@ def _run_force(planes, dens, own, m0, params_vec, cfg, interpret, gate=None):
             memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2 * dim, cap, 3 * _CLW), jnp.float32),
-            pltpu.VMEM((2, cap, 3 * _CLW), jnp.float32),
+            pltpu.VMEM((6, cap, 3 * _CLW), jnp.float32),
             pltpu.VMEM((dim, 8, _T), jnp.float32),
             pltpu.SemaphoreType.DMA((3, NB, 2)),
         ],
@@ -814,16 +827,19 @@ def bucket_sph(predicted: Array, vel: Array, params: SimParams,
         def with_rescue(budget):
             def fn(dens):
                 dflat = jnp.concatenate(
-                    [dens.reshape(2, -1),
+                    [dens[:2].reshape(2, -1),
                      jnp.asarray([params.target_density, DENSITY_PADDING],
                                  dens.dtype)[:, None]], axis=1)
                 den, nden = dflat[0, addr], dflat[1, addr]
                 den, nden, rescued, unrescued = rescue_mod.density_rescue(
                     predicted, dropped, den, nden, params, coeffs, cfg,
                     budget=budget)
-                flat = dens.reshape(2, -1)
-                flat = flat.at[0, addr].set(den, mode="drop")
-                flat = flat.at[1, addr].set(nden, mode="drop")
+                # scatter the corrected rows into ALL 6 planes so the
+                # force pass reads pressures/reciprocals consistent with
+                # the corrected densities (sentinel addr is OOB -> drop)
+                flat = dens.reshape(6, -1)
+                flat = flat.at[:, addr].set(
+                    derived_density_planes(den, nden, params), mode="drop")
                 return (flat.reshape(dens.shape), den, nden,
                         rescued, unrescued)
             return fn

@@ -321,8 +321,14 @@ def _exchange_halo_slabs(planes: Array, gx_loc: int, S_pad: int, PAD: int,
         last, axis, [(d, (d + 1) % ndev) for d in range(ndev)])
     from_right = jax.lax.ppermute(
         first, axis, [(d, (d - 1) % ndev) for d in range(ndev)])
-    from_left = jnp.where(me == 0, jnp.zeros_like(from_left), from_left)
-    from_right = jnp.where(me == ndev - 1, jnp.zeros_like(from_right),
+    # edge devices keep their ORIGINAL pad content (the scatter fill:
+    # _FAR for position planes, 0 elsewhere) — zero-filling would turn
+    # empty slots into phantom particles at the world origin for any
+    # plane whose empty sentinel is not 0
+    from_left = jnp.where(me == 0, planes[:, :, PAD - S_pad:PAD],
+                          from_left)
+    hi0 = PAD + gx_loc * S_pad
+    from_right = jnp.where(me == ndev - 1, planes[:, :, hi0:hi0 + S_pad],
                            from_right)
     planes = planes.at[:, :, PAD - S_pad:PAD].set(from_left)
     hi = PAD + gx_loc * S_pad
@@ -380,7 +386,7 @@ def _sph_local_pallas(pred, vel, active, params, coeffs, cfg, gx_loc, axis,
 
         def ph1(dens):
             safe = jnp.minimum(addr_out, cap_p * L - 1)
-            dflat = dens.reshape(2, -1)
+            dflat = dens[:2].reshape(2, -1)
             invalid = dropped | (active <= 0)
             den_p = jnp.where(invalid, params.target_density,
                               dflat[0, safe])
@@ -388,12 +394,15 @@ def _sph_local_pallas(pred, vel, active, params, coeffs, cfg, gx_loc, axis,
             den_p, nden_p, odata, rescued, unres = _rescue_density_common(
                 pred, vel, active, dropped, den_p, nden_p, halo_pos(),
                 params, coeffs, R, axis, cfg.chunk)
-            # corrected resident densities must be visible to the force
-            # pass and to the neighbors' force passes (exchange is next);
+            # corrected resident rows must be visible — with consistent
+            # derived pressure/reciprocal planes — to the force pass and
+            # to the neighbors' force passes (exchange is next);
             # dropped/inactive rows carry the sentinel addr -> mode=drop
-            dflat = dflat.at[0, addr_out].set(den_p, mode="drop")
-            dflat = dflat.at[1, addr_out].set(nden_p, mode="drop")
-            return (dflat.reshape(dens.shape), odata, rescued,
+            flat = dens.reshape(6, -1)
+            flat = flat.at[:, addr_out].set(
+                sb.derived_density_planes(den_p, nden_p, params),
+                mode="drop")
+            return (flat.reshape(dens.shape), odata, rescued,
                     den_p, nden_p, unres)
 
         def ph1_skip(dens):
@@ -430,7 +439,7 @@ def _sph_local_pallas(pred, vel, active, params, coeffs, cfg, gx_loc, axis,
             # densities for the pair-force formulas
             hvel = _halo_pseudo(feats[dim:2 * dim], gx_loc, S_pad, PAD,
                                 dim).T
-            hdens = _halo_pseudo(dens, gx_loc, S_pad, PAD, dim)
+            hdens = _halo_pseudo(dens[:2], gx_loc, S_pad, PAD, dim)
             halo = {"pos": halo_pos(), "vel": hvel,
                     "den": hdens[0], "nden": hdens[1]}
             return _rescue_force_common(
