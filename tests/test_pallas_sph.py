@@ -51,8 +51,11 @@ def test_pallas_geometry_alignment():
 
 
 def test_pallas_rejects_oversized_z():
+    # gz must fit inside the window lane margin; the margin follows the
+    # auto-picked tile width (256 lanes for wide scenes), so only z-dims
+    # past that are rejected — gz=300 > 255 even at the widest tile
     cfg = SimConfig(n=64, dim=3, neighbor_mode="pallas",
-                    grid_dims=(16, 12, 200), cell_capacity=8)
+                    grid_dims=(16, 12, 300), cell_capacity=8)
     with pytest.raises(ValueError, match="z-dim"):
         sph_bucket._geometry(cfg)
 

@@ -51,9 +51,24 @@ from ...core.params import DENSITY_PADDING, KernelCoeffs, SimConfig, SimParams
 Array = jax.Array
 
 _FAR = 1.0e15
+
+# Lane-tile geometry. These module globals are SET BY `_geometry(cfg)` at
+# trace time (every traced entry point calls it before building kernels),
+# so they are always consistent with the cfg being traced. Wide scenes use
+# 512-lane tiles: measured on the settled flagship, the force pass drops
+# 70.9 -> 56.3 ms with exact parity (benchmarks/micro9b_results.json) —
+# the ~12-cycle effective cost per vector op amortizes over 4 vregs.
+# Narrow scenes keep 256 to bound slab padding and occupancy-gate width.
 _T = 256    # lane-chunk width (one grid program per (slab, chunk))
 _M = 128    # window lane margin; covers the oy/oz reach (needs gz < _M)
 _CLW = _T + 2 * _M   # per-slab window width in the VMEM scratch
+_TILE_OVERRIDE = None   # benchmarks may pin a tile width (e.g. 256/512)
+
+
+def _pick_tile(S: int) -> int:
+    if _TILE_OVERRIDE is not None:
+        return _TILE_OVERRIDE
+    return 512 if S >= 2048 else 256
 
 # scalar-parameter slots (SMEM (1, 16) f32)
 _P_H = 0
@@ -97,14 +112,18 @@ def _geometry(cfg: SimConfig):
     PAD = S_pad + 2·_M dead/halo lanes at each end so (a) every window the
     edge slabs read exists in-bounds and (b) PAD is a multiple of _T, which
     lets the kernels' output tiles use plain BlockSpec pipelining."""
+    global _T, _M, _CLW
     dims = cfg.grid_dims
     gx, gy = dims[0], dims[1]
     gz = dims[2] if cfg.dim == 3 else 1
+    S = gy * gz
+    _T = _pick_tile(S)
+    _M = _T // 2
+    _CLW = _T + 2 * _M
     if gz > _M - 1:
         raise ValueError(
             f"pallas path needs grid z-dim < {_M}; got {gz} — use the "
             "bucket_grid XLA path or a coarser grid")
-    S = gy * gz
     S_pad = _round_up(S, _T)
     NYC = S_pad // _T
     PAD = S_pad + 2 * _M
@@ -288,7 +307,7 @@ def _gated_window_dma(refs, scratches, sems, occs, i, yc, *, cap, S_pad,
     parallel lists (the force pass windows two HBM arrays)."""
     NB = cap // 8
     for c in range(3):
-        start = 128 + (i + c) * S_pad + yc * _T
+        start = _M + (i + c) * S_pad + yc * _T
         for b in range(NB):
             @pl.when(occs[c] > 8 * b)
             def _(c=c, b=b, start=start):
@@ -312,11 +331,14 @@ def _gated_window_dma(refs, scratches, sems, occs, i, yc, *, cap, S_pad,
 # candidate slots of a gated block as one (block, _T) tile, sublane-reduced
 # per query row — ~3x fewer vector op-sets at settled occupancy with the
 # same branch count as ("slab", 8).
+# "qrow2"/"qrow3" are op-trimmed qrow variants (see _force_kernel); qrow3
+# additionally shares one wide load per (block, oy) across the 3 oz shifts.
 # measured on the settled flagship (benchmarks/micro6_gating_results.json,
-# micro6b_results.json): density slab8 10.8 ms (qrow 13.3, off4 18.7);
-# force qrow 70.2 ms (off4 72.1, slab8 118.9, slab1 134.3)
+# micro6b_results.json, micro9_force_results.json): density slab8 10.8 ms
+# (qrow 13.3, off4 18.7); force qrow3 70.2 ms == qrow2 70.4 < qrow 75.5
+# < off4 72.1* < slab8 118.9 < slab1 134.3 (*different session)
 _DENSITY_GATE = ("slab", 8)
-_FORCE_GATE = ("qrow", 8)
+_FORCE_GATE = ("qrow3", 8)
 
 
 def _gated_slot_loops(occs, do_rows, *, dim, cap, gz, struct, block):
@@ -507,6 +529,131 @@ def _force_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref, out_ref,
                 return 0
 
             jax.lax.fori_loop(0, (occ_own + 7) // 8, q_body, 0)
+            return
+
+        if gate[0] in ("qrow2", "qrow3", "qrow4", "qrow5",
+                       "qdiag1", "qdiag2"):
+            # op-trimmed qrow (micro9): displacements from the dist2 loop
+            # are reused for the force direction (no candidate re-loads),
+            # inv = rsqrt(max(dist2, tiny)) replaces the double-where (the
+            # only d == 0 cases are the self pair — slot-masked — and
+            # coincident distinct particles, handled by the center tile's
+            # +y fallback), 1/d is folded into the pressure scale so the
+            # per-axis update is one fma, and the d == 0 fallback runs on
+            # the center tile only (coincident particles share a cell).
+            # "qrow3" additionally loads ONE (8, _T+2) tile per (block, oy)
+            # and slices the three oz variants from registers.
+            # "qrow4"/"qrow5" explicitly broadcast the (1, _T) query context
+            # to (8, _T) once per q (qrow5 also shares oy loads) — probes
+            # whether Mosaic re-materializes sublane broadcasts per op.
+            # "qdiag1"/"qdiag2" are WRONG-PHYSICS diagnostics (measure
+            # only): qdiag1 processes a single dy offset (1/9 the tiles,
+            # tests linearity in tile count), qdiag2 drops the viscosity +
+            # near-pressure arithmetic (tests arithmetic- vs overhead-
+            # bound).
+            shared_oy = gate[0] in ("qrow3", "qrow5") and dim == 3
+            bcast = gate[0] in ("qrow4", "qrow5")
+            diag1 = gate[0] == "qdiag1"
+            diag2 = gate[0] == "qdiag2"
+
+            def q_body(q, _):
+                qsl = pl.ds(q, 1)
+                qpos = [scratch[a, qsl, pl.ds(qs, _T)] for a in range(dim)]
+                qvel = [scratch[dim + a, qsl, pl.ds(qs, _T)]
+                        for a in range(dim)]
+                qden = dscratch[0, qsl, pl.ds(qs, _T)]
+                qnden = dscratch[1, qsl, pl.ds(qs, _T)]
+                qprs = dscratch[2, qsl, pl.ds(qs, _T)]
+                qnprs = dscratch[3, qsl, pl.ds(qs, _T)]
+                qden_inv = dscratch[4, qsl, pl.ds(qs, _T)]
+                out_ref[0, qsl, :] = qden
+                out_ref[1, qsl, :] = qnden
+                if bcast:
+                    qpos = [jnp.broadcast_to(p, (8, _T)) for p in qpos]
+                    qvel = [jnp.broadcast_to(v, (8, _T)) for v in qvel]
+                    qprs = jnp.broadcast_to(qprs, (8, _T))
+                    qnprs = jnp.broadcast_to(qnprs, (8, _T))
+                    qden_inv = jnp.broadcast_to(qden_inv, (8, _T))
+                for a in range(dim):
+                    acc_scr[a] = jnp.zeros((8, _T), jnp.float32)
+
+                def pair_tile(cand, dsc, is_center, force, slot_ids):
+                    d = [cand[a] - qpos[a] for a in range(dim)]
+                    dist2 = d[0] * d[0]
+                    for a in range(1, dim):
+                        dist2 = dist2 + d[a] * d[a]
+                    sel = dist2 <= h2
+                    if is_center:
+                        sel = sel & (slot_ids != q)
+                    inv = jax.lax.rsqrt(jnp.maximum(dist2, 1e-30))
+                    v = dist2 * inv - h
+                    shared_p = qprs + dsc[0]
+                    if diag2:
+                        scale = jnp.where(sel, qden_inv * (
+                            shared_p * (v * pow2_der) * dsc[2]), 0.0)
+                        scale_i = scale * inv
+                        for a in range(dim):
+                            force[a] = force[a] + d[a] * scale_i
+                        return
+                    shared_np = qnprs + dsc[1]
+                    scale = jnp.where(sel, qden_inv * (
+                        shared_p * (v * pow2_der) * dsc[2]
+                        + shared_np * ((v * v) * pow3_der) * dsc[3]), 0.0)
+                    scale_i = scale * inv
+                    hv = h2 - jnp.minimum(dist2, h2)
+                    w_visc = (hv * hv * hv) * spikey_visc
+                    for a in range(dim):
+                        f = (force[a] + d[a] * scale_i
+                             + (cand[dim + a] - qvel[a]) * w_visc)
+                        if is_center and a == 1:
+                            # +y fallback at d == 0 (wgsl:243-248)
+                            zero_dist = (dist2 == 0.0).astype(jnp.float32)
+                            f = f + zero_dist * scale
+                        force[a] = f
+
+                for c in range(3):
+                    base = c * _CLW + _M
+                    for b0 in range(0, cap, 8):
+                        @pl.when(occs[c] > b0)
+                        def _blk(c=c, b0=b0, base=base):
+                            bsl = pl.ds(b0, 8)
+                            slot_ids = b0 + jax.lax.broadcasted_iota(
+                                jnp.int32, (8, 1), 0)
+                            force = [acc_scr[a] for a in range(dim)]
+                            if shared_oy:
+                                for oy in (-1, 0, 1):
+                                    w0 = base + oy * gz - 1
+                                    w = [scratch[a, bsl, pl.ds(w0, _T + 2)]
+                                         for a in range(2 * dim)]
+                                    dw = [dscratch[k, bsl,
+                                                   pl.ds(w0, _T + 2)]
+                                          for k in (2, 3, 4, 5)]
+                                    for oz in (0, 1, 2):
+                                        pair_tile(
+                                            [t[:, oz:oz + _T] for t in w],
+                                            [t[:, oz:oz + _T] for t in dw],
+                                            c == 1 and oy == 0 and oz == 1,
+                                            force, slot_ids)
+                            else:
+                                dys = [0] if diag1 else _offsets_yz(dim, gz)
+                                for dy in dys:
+                                    cs = pl.ds(base + dy, _T)
+                                    pair_tile(
+                                        [scratch[a, bsl, cs]
+                                         for a in range(2 * dim)],
+                                        [dscratch[k, bsl, cs]
+                                         for k in (2, 3, 4, 5)],
+                                        c == 1 and dy == 0,
+                                        force, slot_ids)
+                            for a in range(dim):
+                                acc_scr[a] = force[a]
+
+                for a in range(dim):
+                    out_ref[2 + a, qsl, :] = jnp.sum(
+                        acc_scr[a], axis=0, keepdims=True)
+                return 0
+
+            jax.lax.fori_loop(0, occ_own, q_body, 0)
             return
 
         if gate[0] == "qrow":
