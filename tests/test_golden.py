@@ -72,16 +72,16 @@ GOLDEN = {
         bbox_lo=[-7.95, -4.45], bbox_hi=[7.95, -2.74188],
         mean_rho=195.7284, marks=slow),
     ("dam-break-2d-4k", "pallas", 200): dict(
-        com=[-2.38905, -2.9272], ke=59908.64,
-        bbox_lo=[-7.95, -4.45], bbox_hi=[7.95, -0.20437],
-        mean_rho=130.3085, marks=slow),
+        com=[-2.36836, -2.95182], ke=59997.46,
+        bbox_lo=[-7.95, -4.45], bbox_hi=[7.95, 0.15],
+        mean_rho=131.7911, marks=slow),
     # the reference's own scene over the full BASELINE 1k-step horizon, on
     # the compiled TPU kernels (artifact:
     # benchmarks/reference_cube_1k_tpu.json; generated on v5e)
     ("reference-cube", "pallas", 1000): dict(
-        com=[0.00579, -3.76539, 0.00057], ke=1270.59,
-        bbox_lo=[-7.9, -4.4, -4.4], bbox_hi=[7.9, -2.26113, 4.4],
-        mean_rho=333.2167, marks=tpu_only),
+        com=[0.00516, -3.76478, 0.00185], ke=1276.78,
+        bbox_lo=[-7.9, -4.4, -4.4], bbox_hi=[7.9, -2.25373, 4.4],
+        mean_rho=332.8076, marks=tpu_only),
 }
 
 

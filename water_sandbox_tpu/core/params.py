@@ -305,6 +305,16 @@ class SimConfig:
     # disables (overflow stays dropped-and-counted). Only steps that
     # actually overflow pay the sweep (lax.cond).
     rescue_capacity: int = 0
+    # Incremental bucket maintenance (pallas mode, ops/pallas/incremental):
+    # the rollout keeps particle state resident in the bucket planes,
+    # integrates it in place, and re-inserts only cell-crossing movers —
+    # a full rebuild runs every `incremental_rebuild` steps (and whenever
+    # the mover budget, grid-anchor drift, or hole debt demands one).
+    # 0 = rebuild every step (the default, and the only mode the
+    # domain-decomposed multi-chip step uses).
+    incremental_rebuild: int = 0
+    # Mover budget per incremental step; 0 = auto (n/8, >=4096, /128 ceil).
+    mover_capacity: int = 0
 
     def __post_init__(self):
         if self.dim not in (2, 3):

@@ -131,9 +131,16 @@ def _geometry(cfg: SimConfig):
     return gx, gy, gz, S, S_pad, NYC, PAD, L
 
 
-def _build_slab_buckets(predicted: Array, vel: Array, params, cfg: SimConfig):
+def _build_slab_buckets(predicted: Array, vel: Array, params, cfg: SimConfig,
+                        extra: Array | None = None,
+                        origin: Array | None = None):
     """Bucket build scattering DIRECTLY into the slab-padded kernel layout —
     no relayout copies between the build and the kernels.
+
+    ``extra`` appends more (n, k) feature rows after the vel planes (the
+    incremental step carries pos planes this way); ``origin`` pins the grid
+    anchor instead of deriving it from the data (the incremental step must
+    keep the anchor frozen between rebuilds so cell keys stay comparable).
 
     Cost-shaped by the measured v5e irregular-op tax
     (benchmarks/micro_tpu_results.json: gathers cost ~13ns per INDEX with
@@ -156,7 +163,8 @@ def _build_slab_buckets(predicted: Array, vel: Array, params, cfg: SimConfig):
     gx, gy, gz, S, S_pad, NYC, PAD, L = _geometry(cfg)
     dtype = predicted.dtype
 
-    origin = hashing.grid_origin(predicted, h)
+    if origin is None:
+        origin = hashing.grid_origin(predicted, h)
     cell = jnp.floor((predicted - origin) / h).astype(jnp.int32)
     cell = jnp.clip(cell, 0, jnp.asarray(dims, jnp.int32) - 1)
     r = cell[:, 1]
@@ -175,7 +183,8 @@ def _build_slab_buckets(predicted: Array, vel: Array, params, cfg: SimConfig):
     ok = slot < cap
     flat = jnp.where(ok, slot * L + PAD + sorted_col, cap_p * L)
 
-    rows = jnp.concatenate([predicted, vel], axis=1)   # (n, 2·dim)
+    feats = [predicted, vel] + ([extra] if extra is not None else [])
+    rows = jnp.concatenate(feats, axis=1)              # (n, 2·dim [+ k])
     srows = jnp.take(rows, order, axis=0)              # ONE gather
 
     def scatter(vals, fill):
@@ -185,7 +194,7 @@ def _build_slab_buckets(predicted: Array, vel: Array, params, cfg: SimConfig):
             unique_indices=True)[:-1].reshape(cap_p, L)
 
     planes = jnp.stack([scatter(srows[:, j], _FAR if j < dim else 0.0)
-                        for j in range(2 * dim)])
+                        for j in range(rows.shape[1])])
 
     # occupied-slot counts derived from the position plane (occupied slots
     # hold real positions, empty ones _FAR) — a cheap streaming reduction
@@ -391,17 +400,33 @@ def _density_kernel(own_ref, m0_ref, params_ref, feats_ref, out_ref,
         npa = params_ref[0, _P_NEAR_PRESSURE] * 0.5
         qs = _CLW + _M                 # window-local start of own cells
 
+        # "f"-suffixed gates (e.g. "slabf") fold the kernel-derivative
+        # constants into the reciprocal planes; careful: "off" is a base
+        # gate name, not a fold variant
+        fold = gate[0].endswith("f") and gate[0] != "off"
+        pow2_der = params_ref[0, _P_POW2_DER]
+        pow3_der = params_ref[0, _P_POW3_DER]
+
         def write_out(sl, den, nden):
             # 6-plane output: den, nden, EOS half-pressures and
             # reciprocals precomputed ONCE per particle here so the force
             # pass pays no per-pair divides (its hot loop runs ~27x per
-            # particle) — den >= DENSITY_PADDING > 0 so both are safe
+            # particle) — den >= DENSITY_PADDING > 0 so both are safe.
+            # "f"-suffixed gates fold the kernel-derivative constants into
+            # the reciprocal planes (plane4 = pow2_der/den, plane5 =
+            # pow3_der/nden), which drops two per-pair multiplies from the
+            # force pass ("qrow6"); the query-side 1/rho_self factor is
+            # recovered there with one per-ROW multiply by 1/pow2_der.
             out_ref[0, sl, :] = den
             out_ref[1, sl, :] = nden
             out_ref[2, sl, :] = pa * den + pb
             out_ref[3, sl, :] = npa * nden
-            out_ref[4, sl, :] = 1.0 / den
-            out_ref[5, sl, :] = 1.0 / nden
+            if fold:
+                out_ref[4, sl, :] = pow2_der / den
+                out_ref[5, sl, :] = pow3_der / nden
+            else:
+                out_ref[4, sl, :] = 1.0 / den
+                out_ref[5, sl, :] = 1.0 / nden
 
         if gate[0] == "noop":
             # diagnostic: window DMA + output writes with the pair math
@@ -485,7 +510,8 @@ def _density_kernel(own_ref, m0_ref, params_ref, feats_ref, out_ref,
                 acc_scr[1] = nden
 
             _gated_slot_loops(occs, do_rows, dim=dim, cap=cap, gz=gz,
-                              struct=gate[0], block=gate[1])
+                              struct=gate[0][:-1] if fold else gate[0],
+                              block=gate[1])
 
             write_out(pl.ds(q0, 8), acc_scr[0] + DENSITY_PADDING,
                       acc_scr[1] + DENSITY_PADDING)
@@ -531,7 +557,7 @@ def _force_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref, out_ref,
             jax.lax.fori_loop(0, (occ_own + 7) // 8, q_body, 0)
             return
 
-        if gate[0] in ("qrow2", "qrow3", "qrow4", "qrow5",
+        if gate[0] in ("qrow2", "qrow3", "qrow4", "qrow5", "qrow6",
                        "qdiag1", "qdiag2"):
             # op-trimmed qrow (micro9): displacements from the dist2 loop
             # are reused for the force direction (no candidate re-loads),
@@ -551,10 +577,18 @@ def _force_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref, out_ref,
             # tests linearity in tile count), qdiag2 drops the viscosity +
             # near-pressure arithmetic (tests arithmetic- vs overhead-
             # bound).
-            shared_oy = gate[0] in ("qrow3", "qrow5") and dim == 3
+            # "qrow6" = qrow3 + folded derived planes: the density pass
+            # ("slabf" gate) stores plane4 = pow2_der/den, plane5 =
+            # pow3_der/nden, dropping two per-pair multiplies here; the
+            # query-side 1/rho_self is recovered with one per-ROW multiply
+            # by 1/pow2_der, and the two kernel terms contract via Horner
+            # (v*(a + v*b)) — ~3 fewer VPU ops on the ~39-op pair body.
+            shared_oy = gate[0] in ("qrow3", "qrow5", "qrow6") and dim == 3
             bcast = gate[0] in ("qrow4", "qrow5")
+            fold = gate[0] == "qrow6"
             diag1 = gate[0] == "qdiag1"
             diag2 = gate[0] == "qdiag2"
+            inv_pow2_der = 1.0 / pow2_der
 
             def q_body(q, _):
                 qsl = pl.ds(q, 1)
@@ -566,6 +600,8 @@ def _force_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref, out_ref,
                 qprs = dscratch[2, qsl, pl.ds(qs, _T)]
                 qnprs = dscratch[3, qsl, pl.ds(qs, _T)]
                 qden_inv = dscratch[4, qsl, pl.ds(qs, _T)]
+                if fold:
+                    qden_inv = qden_inv * inv_pow2_der
                 out_ref[0, qsl, :] = qden
                 out_ref[1, qsl, :] = qnden
                 if bcast:
@@ -596,9 +632,15 @@ def _force_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref, out_ref,
                             force[a] = force[a] + d[a] * scale_i
                         return
                     shared_np = qnprs + dsc[1]
-                    scale = jnp.where(sel, qden_inv * (
-                        shared_p * (v * pow2_der) * dsc[2]
-                        + shared_np * ((v * v) * pow3_der) * dsc[3]), 0.0)
+                    if fold:
+                        scale = jnp.where(sel, (qden_inv * v) * (
+                            shared_p * dsc[2]
+                            + v * (shared_np * dsc[3])), 0.0)
+                    else:
+                        scale = jnp.where(sel, qden_inv * (
+                            shared_p * (v * pow2_der) * dsc[2]
+                            + shared_np * ((v * v) * pow3_der) * dsc[3]),
+                            0.0)
                     scale_i = scale * inv
                     hv = h2 - jnp.minimum(dist2, h2)
                     w_visc = (hv * hv * hv) * spikey_visc
@@ -947,21 +989,42 @@ def bucket_sph(predicted: Array, vel: Array, params: SimParams,
 
     interpret=None auto-selects: compiled on TPU, interpreter elsewhere (so
     neighbor_mode='pallas' stays usable — if slow — on CPU)."""
+    gx, gy, gz, S, S_pad, NYC, PAD, L = _geometry(cfg)
+
+    planes, counts, addr, overflow = _build_slab_buckets(
+        predicted, vel, params, cfg)
+    own, m0 = occupancy_bounds(counts, gx, S_pad, PAD, gz)
+    dropped = addr == _cap_pad(cfg.cell_capacity) * L
+
+    den, nden, prs, nprs, acc, unrescued, _ = sph_passes(
+        planes, own, m0, addr, dropped, overflow, predicted, vel,
+        params, coeffs, cfg, interpret)
+    return den, nden, prs, nprs, acc, unrescued
+
+
+def sph_passes(planes: Array, own: Array, m0: Array, addr: Array,
+               dropped: Array, overflow: Array, predicted: Array,
+               vel: Array, params: SimParams, coeffs: KernelCoeffs,
+               cfg: SimConfig, interpret: bool | None = None):
+    """Density + rescue + force + gather-back on pre-built bucket planes.
+
+    Shared by ``bucket_sph`` (planes rebuilt every step) and the
+    incremental step (planes maintained in place,
+    ops/pallas/incremental.py). ``planes`` may carry extra feature rows
+    after the 2·dim the kernels read. Returns
+    (den, nden, prs, nprs, acc, unrescued, out_c) — out_c is the force
+    kernel's plane-layout output (den/nden passthrough + acc planes), which
+    the incremental step integrates in place."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     dim = cfg.dim
     cap = cfg.cell_capacity
     gx, gy, gz, S, S_pad, NYC, PAD, L = _geometry(cfg)
     n = predicted.shape[0]
-
-    planes, counts, addr, overflow = _build_slab_buckets(
-        predicted, vel, params, cfg)
     params_vec = _param_vector(params, coeffs)
-    own, m0 = occupancy_bounds(counts, gx, S_pad, PAD, gz)
 
     dens = _run_density(planes, own, m0, params_vec, cfg, interpret)
 
-    dropped = addr == _cap_pad(cap) * L
     if cfg.rescue_capacity > 0:
         # exact overflow rescue (ops/rescue.py): correct densities BEFORE
         # the force pass. All of it — including the per-particle density
@@ -1004,7 +1067,8 @@ def bucket_sph(predicted: Array, vel: Array, params: SimParams,
         rescued = None
         unrescued = overflow
 
-    out_c = _run_force(planes, dens, own, m0, params_vec, cfg, interpret)
+    out_c = _run_force(planes[:2 * dim], dens, own, m0, params_vec, cfg,
+                       interpret)
 
     den, nden, acc = gather_results(out_c, addr, dropped, params)
 
@@ -1025,8 +1089,8 @@ def bucket_sph(predicted: Array, vel: Array, params: SimParams,
             lambda a: jax.lax.cond(overflow <= small, f_rescue(small),
                                    f_rescue(cfg.rescue_capacity), a),
             lambda a: a, acc)
-        return den, nden, prs, nprs, acc, unrescued
+        return den, nden, prs, nprs, acc, unrescued, out_c
 
     prs = params.pressure_scalar * (den - params.target_density)
     nprs = params.near_pressure_scalar * nden
-    return den, nden, prs, nprs, acc, overflow
+    return den, nden, prs, nprs, acc, overflow, out_c

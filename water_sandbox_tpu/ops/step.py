@@ -82,7 +82,17 @@ def step(state: FluidState, params: SimParams, cfg: SimConfig,
 @partial(jax.jit, static_argnums=(2, 3), donate_argnums=0)
 def rollout(state: FluidState, params: SimParams, cfg: SimConfig,
             num_steps: int) -> FluidState:
-    """num_steps of `step` under lax.scan with donated buffers."""
+    """num_steps of `step` under lax.scan with donated buffers.
+
+    With ``cfg.incremental_rebuild > 0`` (pallas mode), the scan keeps the
+    bucket planes resident and integrates them in place, re-inserting only
+    cell-crossing movers (ops/pallas/incremental.py) — the full bucket
+    rebuild runs once at entry and then every K steps."""
+    if (cfg.neighbor_mode == "pallas" and cfg.incremental_rebuild > 0
+            and _pallas_sph is not None):
+        from .pallas import incremental
+        return incremental.rollout_inc(state, params, cfg, num_steps)
+
     def body(s, _):
         return step(s, params, cfg), None
 
