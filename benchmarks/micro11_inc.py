@@ -45,19 +45,21 @@ def main():
 
     @partial(jax.jit, static_argnums=2)
     def rollout_inc_counted(state, params, cfg_run):
-        """rollout_inc + a rebuild counter (ticks==0 after a step <=>
-        that step's guard fired)."""
-        cache = inc.build_cache(state.predicted, state.vel, state.pos,
-                                params, cfg_run)
+        """rollout_inc + a rebuild counter (a rebuild resets ticks to 0 at
+        the start of a step, so post-step ticks==1 marks it; the scan's
+        first step also reads 1 — subtract the constant when comparing)."""
+        cache = inc.build_cache(state.predicted, state.vel, params,
+                                cfg_run)
 
-        def body(carry, _):
+        def body(carry, idx):
             s, c, nreb = carry
-            s, c = inc.step_inc(s, c, params, cfg_run)
-            return (s, c, nreb + (c.ticks == 0).astype(jnp.int32)), None
+            s, c = inc.step_inc(s, c, params, cfg_run,
+                                materialize=idx == chunk - 1)
+            return (s, c, nreb + (c.ticks == 1).astype(jnp.int32)), None
 
         (state, _, nreb), _ = jax.lax.scan(
-            body, (state, cache, jnp.zeros((), jnp.int32)), None,
-            length=chunk)
+            body, (state, cache, jnp.zeros((), jnp.int32)),
+            jnp.arange(chunk, dtype=jnp.int32))
         return state, nreb
 
     def time_chunks(cfg_run, reps=4):

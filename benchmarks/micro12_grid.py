@@ -46,7 +46,7 @@ def main():
         return ms, float(s.overflow_total)
 
     results = {"n": n, "chunk": chunk, "rows": []}
-    for dims in [(164, 44, 60), (164, 44, 72), (172, 44, 72)]:
+    for dims in [(164, 44, 72), (164, 44, 80), (168, 44, 80)]:
         ms, ovf = run(dims)
         row = {"grid_dims": list(dims), "ms_per_step": round(ms, 2),
                "ps_per_s": round(n / ms * 1e3), "overflow_total": ovf}

@@ -55,7 +55,7 @@ GOLDEN = {
     ("mini-3d", "pallas", 60): dict(
         com=[0.0, -3.79511, 0.0], ke=10585.89,
         bbox_lo=[-2.28083, -4.4, -2.28083],
-        bbox_hi=[2.28083, -3.10759, 2.28083], mean_rho=156.2285,
+        bbox_hi=[2.28083, -3.10759, 2.28083], mean_rho=156.2288,
         kw=dict(grid_dims=(20, 16, 16))),
     # -- 1000-step pins (BASELINE.md bar; WST_SLOW=1) -----------------------
     ("mini-3d", "dense", 1000): dict(
@@ -72,9 +72,9 @@ GOLDEN = {
         bbox_lo=[-7.95, -4.45], bbox_hi=[7.95, -2.74188],
         mean_rho=195.7284, marks=slow),
     ("dam-break-2d-4k", "pallas", 200): dict(
-        com=[-2.36836, -2.95182], ke=59997.46,
-        bbox_lo=[-7.95, -4.45], bbox_hi=[7.95, 0.15],
-        mean_rho=131.7911, marks=slow),
+        com=[-2.39331, -2.95631], ke=59577.24,
+        bbox_lo=[-7.95, -4.45], bbox_hi=[7.95, -0.02465],
+        mean_rho=131.8233, marks=slow),
     # the reference's own scene over the full BASELINE 1k-step horizon, on
     # the compiled TPU kernels (artifact:
     # benchmarks/reference_cube_1k_tpu.json; generated on v5e)

@@ -62,7 +62,7 @@ def test_pallas_rejects_oversized_z():
 
 @pytest.mark.parametrize("gate", [("slab", 1), ("slab", 2), ("slab", 4),
                                   ("slab", 8), ("off", 4), ("off", 8),
-                                  ("qrow", 8)])
+                                  ("qrow", 8), ("qsym", 8)])
 def test_gate_variants_match_xla_bucket(gate):
     """Every candidate-gating variant the micro6 sweep times must be
     physics-identical — whichever wins on the TPU can be adopted without a

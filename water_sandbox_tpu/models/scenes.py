@@ -201,7 +201,18 @@ def _moving_container_256k():
     # and corners stay under capacity; rescue is then a transient-only
     # safety net and no particle ever ghosts (ghost pileups were the
     # round-2 collapse mode).
-    cfg = SimConfig(n=pts.shape[0], dim=3, grid_dims=_grid_dims_for(size),
+    # Grid dims must cover the YAWED box's AABB, not the axis-aligned one:
+    # at yaw angle a the footprint grows to (40cos a + 14sin a) x
+    # (40sin a + 14cos a). Undersized dims are still EXACT physics (cell
+    # keys clamp, and clamping is a monotone non-expansive map, so pairs
+    # within h stay within one cell ring — see ops/pallas/incremental.py)
+    # but pack the out-of-grid slab into the boundary cell plane, which
+    # heats the kernels' occupancy bounds: measured settled step 114 ms at
+    # the axis-aligned (164, 44, 60) vs 87.6 ms at (168, 44, 80)
+    # (benchmarks/micro12_grid_results.json). (168, 44, 80) covers the
+    # sweep through ~950 steps from the lattice (yaw 0.16 rad); z=80 is
+    # free vs z=72 (both pad to the same 3584-lane slab stride).
+    cfg = SimConfig(n=pts.shape[0], dim=3, grid_dims=(168, 44, 80),
                     cell_capacity=48, chunk=8192, rescue_capacity=16384)
     # k=100 (reference formula, stiffer constant — it's the HUD-tunable
     # pressure scalar): pressure stays positive everywhere (target 10 <<

@@ -309,13 +309,16 @@ def occupancy_bounds(counts: Array, gx: int, S_pad: int, PAD: int,
 
 
 def _gated_window_dma(refs, scratches, sems, occs, i, yc, *, cap, S_pad,
-                      run_wait):
+                      run_wait, slabs=(0, 1, 2)):
     """Start (or wait) the halo-window copies: per (slab c, 8-slot block b),
     gated on that slab-chunk's occupancy bound — empty blocks (the common
     case at per-cell occupancy ~2) move no bytes. refs/scratches are
-    parallel lists (the force pass windows two HBM arrays)."""
+    parallel lists (the force pass windows two HBM arrays). ``slabs``
+    restricts which window slabs are copied (the symmetric force pass
+    never reads slab x-1 — those pairs arrive as slab x-1's candidate
+    writes)."""
     NB = cap // 8
-    for c in range(3):
+    for c in slabs:
         start = _M + (i + c) * S_pad + yc * _T
         for b in range(NB):
             @pl.when(occs[c] > 8 * b)
@@ -345,9 +348,14 @@ def _gated_window_dma(refs, scratches, sems, occs, i, yc, *, cap, S_pad,
 # measured on the settled flagship (benchmarks/micro6_gating_results.json,
 # micro6b_results.json, micro9_force_results.json): density slab8 10.8 ms
 # (qrow 13.3, off4 18.7); force qrow3 70.2 ms == qrow2 70.4 < qrow 75.5
-# < off4 72.1* < slab8 118.9 < slab1 134.3 (*different session)
+# < off4 72.1* < slab8 118.9 < slab1 134.3 (*different session).
+# "qsym" (_force_sym_kernel) evaluates each pair ONCE (Newton's 3rd law):
+# 17.9 ms vs qrow3's 39.5 on the settled flagship at the coverage-fixed
+# grid (benchmarks/micro14_qsym_results.json) — the single-chip default.
+# The domain-decomposed path pins qrow3 (parallel/domain.py: halo
+# candidate-writes would be lost at device boundaries).
 _DENSITY_GATE = ("slab", 8)
-_FORCE_GATE = ("qrow3", 8)
+_FORCE_GATE = ("qsym", 8)
 
 
 def _gated_slot_loops(occs, do_rows, *, dim, cap, gz, struct, block):
@@ -865,6 +873,224 @@ def _force_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref, out_ref,
         jax.lax.fori_loop(0, (occ_own + 7) // 8, q_body, 0)
 
 
+def _force_sym_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref,
+                      out_ref, scratch, dscratch, acc_scr, sameb, nextb,
+                      sems, *, dim, cap, gz, S_pad, NYC, sym=True,
+                      sym_same=True, sym_next=True):
+    """Newton's-third-law force pass ("qsym"): every unordered pair is
+    evaluated ONCE and its force applied to BOTH particles.
+
+    The per-pair acceleration splits into an antisymmetric part (the
+    pressure term carries 1/(rho_i·rho_j) — symmetric scalar times the
+    antisymmetric direction — and viscosity carries (v_j - v_i)·w(d)) plus
+    the near-pressure term whose density factor is 1/(rho_i·nrho_j): the
+    candidate side re-scales the shared work with the mirrored reciprocals
+    (two extra multiplies), so the full mirrored evaluation (~39 VPU ops)
+    is never repeated. Processed offsets: the 3^(dim-1) of slab x+1, the
+    strictly-positive within-slab shifts of the own slab, and the center
+    tile restricted to candidate slot > query slot.
+
+    Candidate-side accumulations cross chunk/slab boundaries. Instead of
+    privatized HBM spill buffers + an XLA fold pass, the kernel exploits
+    the TPU grid's SEQUENTIAL execution ("arbitrary" dimension semantics)
+    and keeps two persistent VMEM accumulators across grid steps:
+
+    * ``sameb`` (dim, NYC, cap, _T+256): per-chunk blocks of the own slab.
+      Chunk yc's within-slab writes (dy in (0, gz+1]) land entirely in
+      block yc (the 128-lane block margins absorb the reach); the part
+      spilling past the chunk's lanes is read back by chunk yc+1 — the
+      NEXT grid step — via the block-margin overlap.
+    * ``nextb`` (2, dim, NYC, cap, _T+256): same block layout for slab
+      x+1 contributions, ping-ponged by slab parity — partition (i+1)%2
+      accumulates while partition i%2 (filled during slab i-1) is read
+      into this slab's output tiles and re-zeroed for slab i+1.
+
+    Writes beyond the real grid rows (flat-lane aliases at slab-row ends)
+    carry distance-masked zeros and land in the S_pad-S dead lanes, so
+    they add nothing. Each block is zeroed immediately after its LAST
+    reader (step yc+1), keeping the buffers clean across slab transitions
+    with no extra passes."""
+    i = pl.program_id(0)
+    yc = pl.program_id(1)
+    occ_own = own_ref[i, yc]
+    occs = [m0_ref[i, yc], m0_ref[i + 1, yc], m0_ref[i + 2, yc]]
+    W = _T + 256
+    wpar = (i + 1) % 2
+    rpar = i % 2
+
+    @pl.when((i == 0) & (yc == 0))
+    def _init():
+        for a in range(dim):
+            sameb[a] = jnp.zeros((NYC, cap, W), jnp.float32)
+            nextb[0, a] = jnp.zeros((NYC, cap, W), jnp.float32)
+            nextb[1, a] = jnp.zeros((NYC, cap, W), jnp.float32)
+
+    # acc output tiles must be fully defined even for empty chunks (the
+    # flush below may add neighbor-chunk contributions to any row)
+    for a in range(dim):
+        out_ref[2 + a] = jnp.zeros((cap, _T), jnp.float32)
+
+    @pl.when(occ_own > 0)
+    def _run():
+        slabs = (1, 2) if (sym and sym_next) else (0, 1, 2)
+        _gated_window_dma([feats_ref, dens_ref], [scratch, dscratch], sems,
+                          occs, i, yc, cap=cap, S_pad=S_pad,
+                          run_wait=False, slabs=slabs)
+        _gated_window_dma([feats_ref, dens_ref], [scratch, dscratch], sems,
+                          occs, i, yc, cap=cap, S_pad=S_pad,
+                          run_wait=True, slabs=slabs)
+
+        h = params_ref[0, _P_H]
+        h2 = h * h
+        pow2_der = params_ref[0, _P_POW2_DER]
+        pow3_der = params_ref[0, _P_POW3_DER]
+        spikey_visc = (params_ref[0, _P_SPIKEY]
+                       * params_ref[0, _P_VISCOSITY])
+        qs = _CLW + _M
+
+        def q_body(q, _):
+            qsl = pl.ds(q, 1)
+            qpos = [scratch[a, qsl, pl.ds(qs, _T)] for a in range(dim)]
+            qvel = [scratch[dim + a, qsl, pl.ds(qs, _T)]
+                    for a in range(dim)]
+            qden = dscratch[0, qsl, pl.ds(qs, _T)]
+            qnden = dscratch[1, qsl, pl.ds(qs, _T)]
+            qprs = dscratch[2, qsl, pl.ds(qs, _T)]
+            qnprs = dscratch[3, qsl, pl.ds(qs, _T)]
+            qden_inv = dscratch[4, qsl, pl.ds(qs, _T)]
+            qnden_inv = dscratch[5, qsl, pl.ds(qs, _T)]
+            out_ref[0, qsl, :] = qden
+            out_ref[1, qsl, :] = qnden
+            for a in range(dim):
+                acc_scr[a] = jnp.zeros((8, _T), jnp.float32)
+
+            def pair_tile(cand, dsc, mode, force, slot_ids, cbuf, b0, dy):
+                """mode: 0 normal, 1 center (slot>q + d==0 fallback)."""
+                d = [cand[a] - qpos[a] for a in range(dim)]
+                dist2 = d[0] * d[0]
+                for a in range(1, dim):
+                    dist2 = dist2 + d[a] * d[a]
+                sel = dist2 <= h2
+                if mode == 1:
+                    sel = sel & ((slot_ids > q) if (sym and sym_same)
+                                 else (slot_ids != q))
+                inv = jax.lax.rsqrt(jnp.maximum(dist2, 1e-30))
+                v = dist2 * inv - h
+                shared_p = qprs + dsc[0]
+                shared_np = qnprs + dsc[1]
+                u = shared_p * (v * pow2_der)
+                t_np = shared_np * ((v * v) * pow3_der)
+                # scale_i = (1/rho_i)(u/rho_j + t_np/nrho_j);
+                # scale_j mirrors the reciprocals; the pressure part
+                # (1/rho_i)(1/rho_j)·u is bit-identical in both.
+                scale_i = jnp.where(sel, qden_inv * (
+                    u * dsc[2] + t_np * dsc[3]), 0.0)
+                scale_j = jnp.where(sel, dsc[2] * (
+                    u * qden_inv + t_np * qnden_inv), 0.0)
+                si = scale_i * inv
+                sj = scale_j * inv
+                hv = h2 - jnp.minimum(dist2, h2)
+                w_visc = (hv * hv * hv) * spikey_visc
+                if mode == 1:
+                    # the center tile's sel excludes slot <= q pairs that
+                    # ARE in range (the mirrored halves) — unlike the
+                    # plain kernel (where only the dvel=0 self pair is
+                    # masked), viscosity must honor the mask here or
+                    # every same-cell pair's viscosity double-counts
+                    w_visc = jnp.where(sel, w_visc, 0.0)
+                    zero_dist = (dist2 == 0.0).astype(jnp.float32)
+                for a in range(dim):
+                    dv = cand[dim + a] - qvel[a]
+                    fq = d[a] * si + dv * w_visc
+                    fc = -(d[a] * sj) - dv * w_visc
+                    if mode == 1 and a == 1:
+                        # +y fallback at d == 0 (wgsl:243-248): BOTH
+                        # coincident particles get pushed +y with their
+                        # own scale (the reference evaluates each side
+                        # independently)
+                        fq = fq + zero_dist * scale_i
+                        fc = fc + zero_dist * scale_j
+                    force[a] = force[a] + fq
+                    if cbuf is not None:
+                        lane = pl.ds(128 + dy, _T)
+                        cbuf[a][pl.ds(b0, 8), lane] = (
+                            cbuf[a][pl.ds(b0, 8), lane] + fc)
+
+            slab_list = [1, 2] if (sym and sym_next) else [0, 1, 2]
+            for c in slab_list:
+                base = c * _CLW + _M
+                dys = _offsets_yz(dim, gz)
+                cbuf = None
+                if sym and c == 1 and sym_same:
+                    # own slab: center (slot>q) + strictly-positive shifts
+                    dys = [0] + sorted(dy for dy in dys if dy > 0)
+                    cbuf = [sameb.at[a, yc] for a in range(dim)]
+                elif sym and c == 2 and sym_next:
+                    cbuf = [nextb.at[wpar, a, yc] for a in range(dim)]
+                for b0 in range(0, cap, 8):
+                    @pl.when(occs[c] > b0)
+                    def _blk(c=c, b0=b0, base=base, dys=dys, cbuf=cbuf):
+                        bsl = pl.ds(b0, 8)
+                        slot_ids = b0 + jax.lax.broadcasted_iota(
+                            jnp.int32, (8, 1), 0)
+                        force = [acc_scr[a] for a in range(dim)]
+                        for dy in dys:
+                            w0 = pl.ds(base + dy, _T)
+                            pair_tile(
+                                [scratch[a, bsl, w0]
+                                 for a in range(2 * dim)],
+                                [dscratch[k, bsl, w0]
+                                 for k in (2, 3, 4, 5)],
+                                1 if (c == 1 and dy == 0) else 0,
+                                force, slot_ids, cbuf, b0, dy)
+                        for a in range(dim):
+                            acc_scr[a] = force[a]
+
+            for a in range(dim):
+                out_ref[2 + a, qsl, :] = jnp.sum(
+                    acc_scr[a], axis=0, keepdims=True)
+            return 0
+
+        jax.lax.fori_loop(0, occ_own, q_body, 0)
+
+    if not sym:
+        return
+
+    # ---- flush: own tile += candidate contributions (always, even for
+    # empty chunks — neighbors may have written into our lanes) ----
+    for a in range(dim):
+        add = (sameb[a, yc, :, pl.ds(128, _T)]
+               + nextb[rpar, a, yc, :, pl.ds(128, _T)])
+        out_ref[2 + a] = out_ref[2 + a] + add
+
+    @pl.when(yc > 0)
+    def _left_margins():
+        prev = jnp.maximum(yc - 1, 0)
+        for a in range(dim):
+            add = (sameb[a, prev, :, pl.ds(128 + _T, 128)]
+                   + nextb[rpar, a, prev, :, pl.ds(128 + _T, 128)])
+            out_ref[2 + a, :, pl.ds(0, 128)] = (
+                out_ref[2 + a, :, pl.ds(0, 128)] + add)
+        # block yc-1's last reader is this step: re-zero for reuse
+        for a in range(dim):
+            sameb[a, prev] = jnp.zeros((cap, W), jnp.float32)
+            nextb[rpar, a, prev] = jnp.zeros((cap, W), jnp.float32)
+
+    @pl.when(yc < NYC - 1)
+    def _right_margin():
+        nxt = jnp.minimum(yc + 1, NYC - 1)
+        for a in range(dim):
+            out_ref[2 + a, :, pl.ds(_T - 128, 128)] = (
+                out_ref[2 + a, :, pl.ds(_T - 128, 128)]
+                + nextb[rpar, a, nxt, :, pl.ds(0, 128)])
+
+    @pl.when(yc == NYC - 1)
+    def _zero_last():
+        for a in range(dim):
+            sameb[a, NYC - 1] = jnp.zeros((cap, W), jnp.float32)
+            nextb[rpar, a, NYC - 1] = jnp.zeros((cap, W), jnp.float32)
+
+
 def _param_vector(params: SimParams, coeffs: KernelCoeffs) -> Array:
     v = jnp.zeros((1, 16), jnp.float32)
     v = v.at[0, _P_H].set(params.smoothing_radius)
@@ -932,8 +1158,28 @@ def _run_force(planes, dens, own, m0, params_vec, cfg, interpret, gate=None):
     gx, gy, gz, S, S_pad, NYC, PAD, L = _geometry(cfg)
     dim, cap = cfg.dim, _cap_pad(cfg.cell_capacity)
     NB = cap // 8
-    body = functools.partial(_force_kernel, dim=dim, cap=cap, gz=gz,
-                             S_pad=S_pad, gate=gate or _FORCE_GATE)
+    gate = gate or _FORCE_GATE
+    sym = gate[0] in ("qsym", "qsym0", "qsym1", "qsym2")
+    if sym:
+        if gz + 1 > 128:
+            raise ValueError(
+                f"qsym force pass needs grid z-dim <= 127 (candidate-write "
+                f"block margins are 128 lanes); got {gz}")
+        body = functools.partial(_force_sym_kernel, dim=dim, cap=cap,
+                                 gz=gz, S_pad=S_pad, NYC=NYC,
+                                 sym=gate[0] != "qsym0",
+                                 sym_same=gate[0] in ("qsym", "qsym1"),
+                                 sym_next=gate[0] in ("qsym", "qsym2"))
+        extra_scratch = [
+            pltpu.VMEM((dim, NYC, cap, _T + 256), jnp.float32),
+            pltpu.VMEM((2, dim, NYC, cap, _T + 256), jnp.float32),
+        ]
+        semantics = ("arbitrary", "arbitrary")
+    else:
+        body = functools.partial(_force_kernel, dim=dim, cap=cap, gz=gz,
+                                 S_pad=S_pad, gate=gate)
+        extra_scratch = []
+        semantics = None
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(gx, NYC),
@@ -951,6 +1197,7 @@ def _run_force(planes, dens, own, m0, params_vec, cfg, interpret, gate=None):
             pltpu.VMEM((2 * dim, cap, 3 * _CLW), jnp.float32),
             pltpu.VMEM((6, cap, 3 * _CLW), jnp.float32),
             pltpu.VMEM((dim, 8, _T), jnp.float32),
+        ] + extra_scratch + [
             pltpu.SemaphoreType.DMA((3, NB, 2)),
         ],
     )
@@ -959,7 +1206,8 @@ def _run_force(planes, dens, own, m0, params_vec, cfg, interpret, gate=None):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((2 + dim, cap, L), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 2**20),
+            vmem_limit_bytes=64 * 2**20,
+            **({"dimension_semantics": semantics} if semantics else {})),
         interpret=interpret,
     )(own, m0, params_vec, planes, dens)
 

@@ -424,7 +424,15 @@ def _sph_local_pallas(pred, vel, active, params, coeffs, cfg, gx_loc, axis,
     # halo densities are the neighbors' locally-exact results
     dens = _exchange_halo_slabs(dens, gx_loc, S_pad, PAD, axis)
 
-    out_c = sb._run_force(feats, dens, own, m0, pv, cfg_loc, interpret)
+    # Pinned to the both-sides kernel: the symmetric ("qsym") force pass
+    # applies each pair's mirrored force via candidate-side accumulation,
+    # and at a device boundary those writes land in HALO tiles that are
+    # discarded locally — the neighbor device never receives them (it
+    # skips its own left-halo pairs by the same pairing rule), so
+    # boundary pairs would be lost. The both-sides kernel evaluates every
+    # pair from the query side only, which the halo exchange covers.
+    out_c = sb._run_force(feats, dens, own, m0, pv, cfg_loc, interpret,
+                          gate=("qrow3", 8))
 
     # one multi-feature gather back to particle order (see bucket_sph)
     den, nden, acc = sb.gather_results(out_c, addr_out,
