@@ -127,6 +127,56 @@ def _top_row(planes: Array, cap_p: int):
     return top, occ_total
 
 
+def _column_state(planes: Array, cap_p: int):
+    """One pass over the plane-0 occupancy mask producing everything the
+    step needs per column: (top (1, L) f32, occupancy BITMASKS lo/hi
+    (L,) uint32 with bit s = slot s (s-32 in hi) occupied, occ_total).
+
+    The bitmasks replace the v2 slot-pick's three full-plane min
+    reductions (first/second free slot) with ~10 elementwise bit ops on
+    only the mover columns — measured 16 ms -> ~1 ms at the flagship.
+    Requires cap_p <= 64."""
+    if cap_p > 64:
+        raise ValueError(f"bitmask slot pick needs cell capacity <= 64; "
+                         f"got padded capacity {cap_p}")
+    L = planes.shape[2]
+    occupied = planes[0] < 0.5 * sb._FAR
+    slot_no = 1.0 + jax.lax.broadcasted_iota(jnp.float32, (cap_p, L), 0)
+    top = jnp.max(jnp.where(occupied, slot_no, 0.0), axis=0)[None, :]
+    s = jnp.arange(cap_p, dtype=jnp.uint32)[:, None]
+    w_lo = jnp.where(s < 32, jnp.uint32(1) << (s % 32), jnp.uint32(0))
+    w_hi = jnp.where(s >= 32, jnp.uint32(1) << (s % 32), jnp.uint32(0))
+    lo = jnp.sum(jnp.where(occupied, w_lo, jnp.uint32(0)), axis=0,
+                 dtype=jnp.uint32)
+    hi = jnp.sum(jnp.where(occupied, w_hi, jnp.uint32(0)), axis=0,
+                 dtype=jnp.uint32)
+    occ_total = jnp.sum(occupied)
+    return top, lo, hi, occ_total
+
+
+def _ctz32(x: Array) -> Array:
+    """Count trailing zeros of uint32; 32 for x == 0 (popcount of the
+    all-ones mask (0 & -0) - 1)."""
+    return jax.lax.population_count(
+        (x & (jnp.uint32(0) - x)) - jnp.uint32(1)).astype(jnp.int32)
+
+
+def _first_second_free(lo: Array, hi: Array):
+    """(first, second) free slot indices from per-column occupancy
+    bitmasks (elementwise; >= 64 means none)."""
+    free_lo = ~lo
+    free_hi = ~hi
+    lo1 = _ctz32(free_lo)
+    first = jnp.where(lo1 < 32, lo1, 32 + _ctz32(free_hi))
+    free_lo2 = free_lo & (free_lo - jnp.uint32(1))
+    free_hi2 = free_hi & (free_hi - jnp.uint32(1))
+    lo2 = _ctz32(free_lo2)
+    second = jnp.where(
+        lo2 < 32, lo2,
+        jnp.where(lo1 < 32, 32 + _ctz32(free_hi), 32 + _ctz32(free_hi2)))
+    return first, second
+
+
 def _new_columns(predicted: Array, origin: Array, params: SimParams,
                  cfg: SimConfig, S_pad: int):
     """Slab-strided column key per particle against the frozen anchor
@@ -193,23 +243,20 @@ def step_inc(state: FluidState, cache: BucketCache, params: SimParams,
     rank = miota - jax.lax.cummax(jnp.where(first, miota, 0))
 
     # Hole-filling slot pick: rank 0 -> first free slot, rank 1 -> second
-    # free slot (one fused occupancy-mask pass computes both), rank >= 2
-    # -> above both the column top and the second free slot (cannot
-    # collide: first/second are the ONLY free slots <= max(top, second)).
-    # New slots are always free-BEFORE-clears, so insert indices never
-    # collide with this step's clears (unique_indices stays valid) and
-    # vacated slots become next step's first/second free.
-    top0, occ_total = _top_row(planes, cap_p)
-    occupied0 = planes[0] < 0.5 * sb._FAR
+    # free slot, rank >= 2 -> above both the column top and the second
+    # free slot (cannot collide: first/second are the ONLY free slots
+    # <= max(top, second)). New slots are always free-BEFORE-clears, so
+    # insert indices never collide with this step's clears
+    # (unique_indices stays valid) and vacated slots become next step's
+    # first/second free. The free slots come from per-column occupancy
+    # BITMASKS computed in the same reduction pass as `top`, then ~10 bit
+    # ops on just the mover columns (_first_second_free) — the v2
+    # full-plane min reductions here measured 16 ms at the flagship.
+    top0, occ_lo, occ_hi, occ_total = _column_state(planes, cap_p)
     col_safe = jnp.where(valid, mk, 0)
     top_at = top0[0, PAD + col_safe].astype(jnp.int32)
-    slot_no = jax.lax.broadcasted_iota(jnp.float32, (cap_p, L), 0)
-    es = jnp.where(occupied0, jnp.float32(cap_p), slot_no)
-    first_free_row = jnp.min(es, axis=0)
-    es2 = jnp.where(es == first_free_row[None, :], jnp.float32(cap_p), es)
-    second_free_row = jnp.min(es2, axis=0)
-    first_free = first_free_row[PAD + col_safe].astype(jnp.int32)
-    second_free = second_free_row[PAD + col_safe].astype(jnp.int32)
+    first_free, second_free = _first_second_free(
+        occ_lo[PAD + col_safe], occ_hi[PAD + col_safe])
     slot = jnp.where(
         rank == 0, first_free,
         jnp.where(rank == 1, second_free,
