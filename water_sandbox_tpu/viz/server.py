@@ -98,6 +98,26 @@ function draw(){requestAnimationFrame(draw);if(!frame)return;
  for(const[a,b]of E){const p=proj(...corners[a]),q=proj(...corners[b]);
   ctx.moveTo(p[0],p[1]);ctx.lineTo(q[0],q[1]);}
  ctx.stroke();
+ // rotator-ring gizmo (fluid_container.rs:54-68): a ring in the yaw
+ // plane around the box, with a tick marking the current angle — unlike
+ // the reference's (decorative-only) rings, this one tracks a container
+ // that actually rotates
+ if(is3d){
+  const rr=1.06*Math.hypot(hx,hz);
+  ctx.strokeStyle='#3d5a52';ctx.beginPath();
+  for(let k=0;k<=48;k++){const t=k/48*2*Math.PI;
+   const p=proj(frame.center[0]+rr*Math.cos(t),frame.center[1],
+                (frame.center[2]||0)+rr*Math.sin(t));
+   if(k===0)ctx.moveTo(p[0],p[1]);else ctx.lineTo(p[0],p[1]);}
+  ctx.stroke();
+  const a0=-(frame.angle||0);
+  const t1=proj(frame.center[0]+rr*Math.cos(a0),frame.center[1],
+                (frame.center[2]||0)+rr*Math.sin(a0));
+  const t2=proj(frame.center[0]+1.12*rr*Math.cos(a0),frame.center[1],
+                (frame.center[2]||0)+1.12*rr*Math.sin(a0));
+  ctx.strokeStyle='#6fae9b';ctx.beginPath();
+  ctx.moveTo(t1[0],t1[1]);ctx.lineTo(t2[0],t2[1]);ctx.stroke();
+ }
  const n=frame.speed.length,P=frame.pos,vmax=frame.vmax||1;
  for(let i=0;i<n;i++){
   const p=proj(P[i*frame.dim],P[i*frame.dim+1],is3d?P[i*frame.dim+2]:0);
