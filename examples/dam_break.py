@@ -5,6 +5,9 @@
 """
 
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 if os.environ.get("WST_FORCE_CPU"):
     import jax
