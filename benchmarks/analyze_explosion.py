@@ -60,7 +60,9 @@ def main():
                           ("pos", "vel", "predicted", "acc", "density",
                            "near_density", "pressure", "near_pressure",
                            "step_count", "time", "overflow",
-                           "overflow_total")})
+                           "overflow_total")},
+                       ids=(jnp.asarray(d["ids"]) if "ids" in d else
+                            jnp.arange(d["pos"].shape[0], dtype=jnp.int32)))
     print(f"backend={jax.default_backend()} mode={args.mode} "
           f"step={int(d['step_count'])}", flush=True)
 

@@ -140,6 +140,56 @@ def main():
                          axis=0, dtype=jnp.float32)[None, :]
         return chain(s, planes[0, 0, 0], counts[0, 0], flat[0], srows[0, 0])
 
+    def _built(s):
+        planes, flat, srows, ok = _scatter(s, 6)
+        counts = jnp.sum(jnp.where(planes[0] < _FAR * 0.5, 1.0, 0.0),
+                         axis=0, dtype=jnp.float32)[None, :]
+        own, m0 = sb.occupancy_bounds(counts, gx, S_pad, PAD, gz)
+        return planes, flat, srows, own, m0
+
+    def b_occ(s):
+        planes, flat, srows, own, m0 = _built(s)
+        return chain(s, planes[0, 0, 0], own[0, 0], m0[0, 0], flat[0],
+                     srows[0, 0])
+
+    from water_sandbox_tpu.core.params import KernelCoeffs
+    coeffs = KernelCoeffs.from_radius(params.smoothing_radius, cfg.dim)
+    pv = sb._param_vector(params, coeffs)
+
+    def b_density(s):
+        planes, flat, srows, own, m0 = _built(s)
+        dens = sb._run_density(planes, own, m0, pv, cfg, False)
+        return chain(s, dens[0, 0, 0], flat[0], srows[0, 0])
+
+    def b_force(s):
+        planes, flat, srows, own, m0 = _built(s)
+        dens = sb._run_density(planes, own, m0, pv, cfg, False)
+        out_c = sb._run_force(planes, dens, own, m0, pv, cfg, False)
+        return chain(s, out_c[0, 0, 0], flat[0], srows[0, 0])
+
+    def b_gather(s):
+        planes, flat, srows, own, m0 = _built(s)
+        dens = sb._run_density(planes, own, m0, pv, cfg, False)
+        out_c = sb._run_force(planes, dens, own, m0, pv, cfg, False)
+        dropped = flat == cap_p * L
+        den, nden, acc = sb.gather_results(out_c, flat, dropped, params)
+        return chain(s, den[0], nden[0], acc[0, 0], srows[0, 0])
+
+    def b_density0(s):
+        # zero occupancy bounds: every gated block skipped — measures the
+        # density kernel's fixed grid/DMA machinery floor in-scan
+        planes, flat, srows, own, m0 = _built(s)
+        z_own, z_m0 = jnp.zeros_like(own), jnp.zeros_like(m0)
+        dens = sb._run_density(planes, z_own, z_m0, pv, cfg, False)
+        return chain(s, dens[0, 0, 0], flat[0], srows[0, 0])
+
+    def b_force0(s):
+        planes, flat, srows, own, m0 = _built(s)
+        dens = sb._run_density(planes, own, m0, pv, cfg, False)
+        z_own, z_m0 = jnp.zeros_like(own), jnp.zeros_like(m0)
+        out_c = sb._run_force(planes, dens, z_own, z_m0, pv, cfg, False)
+        return chain(s, out_c[0, 0, 0], flat[0], srows[0, 0])
+
     def b_full(s):
         from water_sandbox_tpu.ops import step as step_mod
         return step_mod.step(s, params, cfg)
@@ -148,7 +198,14 @@ def main():
               ("keys", b_keys), ("sort", b_sort), ("slots", b_slots),
               ("rowgather", b_rows), ("scatter1", b_scatter(1)),
               ("scatter3", b_scatter(3)), ("scatter6", b_scatter(6)),
-              ("counts", b_counts), ("full_step", b_full)]
+              ("counts", b_counts), ("occ", b_occ),
+              ("density", b_density), ("force", b_force),
+              ("density0", b_density0), ("force0", b_force0),
+              ("gather", b_gather), ("full_step", b_full)]
+    import sys
+    if len(sys.argv) > 1:  # run a subset (tunnel compiles are slow)
+        want = set(sys.argv[1:])
+        stages = [st for st in stages if st[0] in want]
     results = {"n": n, "steps_per_scan": STEPS,
                "note": "each prefix scanned 50x like production; stage cost "
                "= diff between consecutive rows"}
@@ -159,7 +216,17 @@ def main():
         print(f"{name:14s} {ms:7.2f} ms/it  (+{ms - prev:6.2f})", flush=True)
         prev = ms
 
-    with open("benchmarks/micro23_build_scan_results.json", "w") as f:
+    out_path = "benchmarks/micro23_build_scan_results.json"
+    try:
+        import os
+        if os.path.exists(out_path):  # merge partial runs
+            with open(out_path) as f:
+                old = json.load(f)
+            old.update(results)
+            results = old
+    except Exception:
+        pass
+    with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results))
 

@@ -79,19 +79,19 @@ GOLDEN = {
     # the compiled TPU kernels (artifact:
     # benchmarks/reference_cube_1k_tpu.json; generated on v5e)
     ("reference-cube", "pallas", 1000): dict(
-        com=[0.00312, -3.76556, -0.00045], ke=1276.41,
-        bbox_lo=[-7.9, -4.4, -4.4], bbox_hi=[7.9, -2.24403, 4.4],
-        mean_rho=333.244, marks=tpu_only),
+        com=[0.00245, -3.76489, 0.00057], ke=1276.51,
+        bbox_lo=[-7.9, -4.4, -4.4], bbox_hi=[7.9, -2.23074, 4.4],
+        mean_rho=332.9723, marks=tpu_only),
     # the FLAGSHIP scene over the full 1k-step horizon on the compiled TPU
     # kernels: translating+yawing container, every particle exact on every
     # step (overflow_total == 0; artifact:
     # benchmarks/moving_container_1k_tpu.json) — pins the perf-critical
     # config so kernel work cannot silently change flagship physics
     ("moving-container-256k", "pallas", 1000): dict(
-        com=[2.7013, -2.93801, -0.03092], ke=224041.11,
+        com=[2.70323, -2.93721, -0.03171], ke=224759.8,
         bbox_lo=[-18.26894, -4.9, -10.10571],
-        bbox_hi=[23.26892, -0.28794, 10.10571],
-        mean_rho=178.8153, marks=tpu_only),
+        bbox_hi=[23.26892, -0.24165, 10.10571],
+        mean_rho=178.8499, marks=tpu_only),
 }
 
 

@@ -315,6 +315,16 @@ class SimConfig:
     incremental_rebuild: int = 0
     # Mover budget per incremental step; 0 = auto (n/8, >=4096, /128 ceil).
     mover_capacity: int = 0
+    # Sorted-state stepping (pallas mode only; other modes ignore it): the
+    # step returns per-particle rows in this step's bucket (cell-sorted)
+    # order instead of inverting the sort permutation back to the previous
+    # order — particle identity rides FluidState.ids. Skips the addr
+    # inversion scatter (~5 ms at 256k on v5e,
+    # benchmarks/micro2_tpu_results.json); physics is identical pair-for-
+    # pair, trajectories differ from the unsorted path only by float
+    # reassociation of in-cell slot order (same tolerance class as any
+    # kernel-schedule change).
+    sorted_state: bool = False
 
     def __post_init__(self):
         if self.dim not in (2, 3):
@@ -334,6 +344,11 @@ class SimConfig:
             if any(d < 3 for d in self.grid_dims):
                 raise ValueError(
                     f"grid_dims must each be >= 3, got {self.grid_dims!r}")
+        if self.sorted_state and self.incremental_rebuild > 0:
+            raise ValueError(
+                "sorted_state is incompatible with incremental_rebuild: the "
+                "plane-resident step keeps particle-order state (its addr "
+                "map IS the identity bookkeeping)")
 
     @property
     def table_size(self) -> int:

@@ -52,6 +52,14 @@ class FluidState:
     overflow_total: Array  # () int64-ish f32 — CUMULATIVE dropped-particle
     #                      steps since init; 0 = every particle got exact
     #                      physics on every step (golden runs assert this)
+    ids: Array           # (n,) int32 — persistent particle identity. Row i
+    #                      of every per-particle array belongs to particle
+    #                      ids[i]. The reference's implicit identity is the
+    #                      buffer row (fluid_compute.rs:444-464); here the
+    #                      sorted-state pallas step (SimConfig.sorted_state)
+    #                      re-permutes rows into bucket order every step, so
+    #                      identity is explicit. arange(n) (the identity
+    #                      map) in every other mode.
 
     @property
     def n(self) -> int:
@@ -89,4 +97,5 @@ def init_state(positions: Array, velocities: Array | None = None) -> FluidState:
         time=jnp.zeros((), dtype),
         overflow=jnp.zeros((), jnp.int32),
         overflow_total=jnp.zeros((), jnp.float32),
+        ids=jnp.arange(n, dtype=jnp.int32),
     )

@@ -445,7 +445,8 @@ def step_inc(state: FluidState, cache: BucketCache, params: SimParams,
         step_count=state.step_count + 1, time=t_new,
         overflow=overflow,
         overflow_total=state.overflow_total + overflow.astype(
-            jnp.float32))
+            jnp.float32),
+        ids=state.ids)
     cache_out = BucketCache(planes=newplanes, addr=addr_r, origin=origin,
                             ticks=ticks + 1)
     return state_out, cache_out

@@ -131,29 +131,30 @@ def _geometry(cfg: SimConfig):
     return gx, gy, gz, S, S_pad, NYC, PAD, L
 
 
-def _build_slab_buckets(predicted: Array, vel: Array, params, cfg: SimConfig,
-                        extra: Array | None = None,
-                        origin: Array | None = None):
-    """Bucket build scattering DIRECTLY into the slab-padded kernel layout —
-    no relayout copies between the build and the kernels.
+def _build_core(predicted: Array, vel: Array, params, cfg: SimConfig,
+                carry: Array | None = None, origin: Array | None = None):
+    """Shared bucket-build core scattering DIRECTLY into the slab-padded
+    kernel layout — no relayout copies between the build and the kernels.
 
-    ``extra`` appends more (n, k) feature rows after the vel planes (the
-    incremental step carries pos planes this way); ``origin`` pins the grid
-    anchor instead of deriving it from the data (the incremental step must
-    keep the anchor frozen between rebuilds so cell keys stay comparable).
+    ``carry`` appends (n, k) f32 columns that ride the sorted row gather but
+    are NOT scattered into planes (the sorted-state step carries pos +
+    bitcast ids this way); ``origin`` pins the grid anchor instead of
+    deriving it from the data (the incremental step must keep the anchor
+    frozen between rebuilds so cell keys stay comparable).
 
     Cost-shaped by the measured v5e irregular-op tax
     (benchmarks/micro_tpu_results.json: gathers cost ~13ns per INDEX with
     multi-feature windows nearly free, scatters ~14ns per ELEMENT, so the op
     count is minimized): ONE lax.sort carries the permutation alongside the
-    keys, ONE (n, 2·dim)-row gather reorders all particle features, and
+    keys, ONE (n, 2·dim + k)-row gather reorders all particle features, and
     2·dim scalar scatters place the feature planes. Empty position slots
     hold _FAR so the kernels' distance filter subsumes slot validity; the
     per-cell occupancy `counts` row only feeds the occupancy bounds.
 
-    Returns (feat planes (2·dim, cap, L): pos then vel, counts (1, L) f32,
-    addr (n,) into the (cap, L) output planes — cap·L for capacity-overflow
-    particles — and overflow ())."""
+    Returns (planes (2·dim, cap, L): pos then vel, counts (1, L) f32,
+    flat (n,) each SORTED row's plane address — cap·L for capacity-overflow
+    rows — order (n,) the sort permutation, srows (n, 2·dim + k) the sorted
+    feature+carry rows, overflow ())."""
     from .. import hashing
 
     n, dim = predicted.shape
@@ -183,7 +184,7 @@ def _build_slab_buckets(predicted: Array, vel: Array, params, cfg: SimConfig,
     ok = slot < cap
     flat = jnp.where(ok, slot * L + PAD + sorted_col, cap_p * L)
 
-    feats = [predicted, vel] + ([extra] if extra is not None else [])
+    feats = [predicted, vel] + ([carry] if carry is not None else [])
     rows = jnp.concatenate(feats, axis=1)              # (n, 2·dim [+ k])
     srows = jnp.take(rows, order, axis=0)              # ONE gather
 
@@ -194,7 +195,7 @@ def _build_slab_buckets(predicted: Array, vel: Array, params, cfg: SimConfig,
             unique_indices=True)[:-1].reshape(cap_p, L)
 
     planes = jnp.stack([scatter(srows[:, j], _FAR if j < dim else 0.0)
-                        for j in range(rows.shape[1])])
+                        for j in range(2 * dim)])
 
     # occupied-slot counts derived from the position plane (occupied slots
     # hold real positions, empty ones _FAR) — a cheap streaming reduction
@@ -204,8 +205,22 @@ def _build_slab_buckets(predicted: Array, vel: Array, params, cfg: SimConfig,
     counts = jnp.sum(jnp.where(planes[0] < _FAR * 0.5, 1.0, 0.0),
                      axis=0, dtype=dtype)[None, :]
 
-    addr = jnp.zeros((n,), jnp.int32).at[order].set(flat, unique_indices=True)
     overflow = (n - jnp.sum(ok)).astype(jnp.int32)
+    return planes, counts, flat, order, srows, overflow
+
+
+def _build_slab_buckets(predicted: Array, vel: Array, params, cfg: SimConfig,
+                        origin: Array | None = None):
+    """Particle-order bucket build (see _build_core): inverts the sort
+    permutation so ``addr`` maps PARTICLE i to its plane address — one
+    (n,) int32 scatter (~5 ms at 256k; the sorted-state path skips it).
+
+    Returns (planes, counts (1, L), addr (n,) — cap·L for capacity-overflow
+    particles — and overflow ())."""
+    n = predicted.shape[0]
+    planes, counts, flat, order, _, overflow = _build_core(
+        predicted, vel, params, cfg, origin=origin)
+    addr = jnp.zeros((n,), jnp.int32).at[order].set(flat, unique_indices=True)
     return planes, counts, addr, overflow
 
 
@@ -1248,6 +1263,45 @@ def bucket_sph(predicted: Array, vel: Array, params: SimParams,
         planes, own, m0, addr, dropped, overflow, predicted, vel,
         params, coeffs, cfg, interpret)
     return den, nden, prs, nprs, acc, unrescued
+
+
+def bucket_sph_sorted(pos: Array, vel: Array, predicted: Array, ids: Array,
+                      params: SimParams, coeffs: KernelCoeffs,
+                      cfg: SimConfig, interpret: bool | None = None):
+    """``bucket_sph`` for the sorted-state step (cfg.sorted_state): all
+    per-particle results come back in THIS step's bucket (cell-sorted) order
+    together with the same-order (pos, vel, ids) rows, instead of being
+    inverted back to the caller's order — which skips the (n,) addr
+    inversion scatter the particle-order path pays (~5 ms at 256k on v5e,
+    benchmarks/micro2_tpu_results.json). Particle identity rides ``ids``:
+    row r of every output belongs to particle ids[r].
+
+    pos and ids travel as extra carry columns of the build's single
+    multi-feature row gather (ids bitcast int32→f32 — gathers are
+    bit-preserving data movement, and multi-feature windows are ~free at
+    the per-index gather cost), so no second gather is paid.
+
+    Returns (den, nden, prs, nprs, acc, unrescued, s_pos, s_vel, s_ids),
+    everything in sorted order."""
+    gx, gy, gz, S, S_pad, NYC, PAD, L = _geometry(cfg)
+    dim = cfg.dim
+
+    ids_f = jax.lax.bitcast_convert_type(ids, jnp.float32)[:, None]
+    carry = jnp.concatenate([pos, ids_f], axis=1)
+    planes, counts, flat, _, srows, overflow = _build_core(
+        predicted, vel, params, cfg, carry=carry)
+    own, m0 = occupancy_bounds(counts, gx, S_pad, PAD, gz)
+    dropped = flat == _cap_pad(cfg.cell_capacity) * L
+
+    s_pred = srows[:, :dim]
+    s_vel = srows[:, dim:2 * dim]
+    s_pos = srows[:, 2 * dim:3 * dim]
+    s_ids = jax.lax.bitcast_convert_type(srows[:, 3 * dim], jnp.int32)
+
+    den, nden, prs, nprs, acc, unrescued, _ = sph_passes(
+        planes, own, m0, flat, dropped, overflow, s_pred, s_vel,
+        params, coeffs, cfg, interpret)
+    return den, nden, prs, nprs, acc, unrescued, s_pos, s_vel, s_ids
 
 
 def sph_passes(planes: Array, own: Array, m0: Array, addr: Array,

@@ -40,6 +40,10 @@ def step(state: FluidState, params: SimParams, cfg: SimConfig,
     coeffs = KernelCoeffs.from_radius(params.smoothing_radius, cfg.dim)
     predicted = state.predicted
 
+    if (cfg.sorted_state and cfg.neighbor_mode == "pallas"
+            and _pallas_sph is not None and constrain is None):
+        return _sorted_pallas_step(state, params, coeffs, cfg)
+
     if cfg.neighbor_mode == "dense":
         density, near_density, pressure, near_pressure = dense.density_pass(
             predicted, params, coeffs)
@@ -76,6 +80,37 @@ def step(state: FluidState, params: SimParams, cfg: SimConfig,
         time=t_new,
         overflow=overflow,
         overflow_total=state.overflow_total + overflow.astype(jnp.float32),
+        ids=state.ids,
+    )
+
+
+def _sorted_pallas_step(state: FluidState, params: SimParams,
+                        coeffs: KernelCoeffs, cfg: SimConfig) -> FluidState:
+    """Sorted-state pallas step (cfg.sorted_state): the new state's rows are
+    in this step's bucket order; identity rides state.ids. Physics is
+    pair-identical to the particle-order path — only in-cell slot order
+    (hence float reassociation) differs from step 2 on."""
+    (density, near_density, pressure, near_pressure, acc, overflow,
+     s_pos, s_vel, s_ids) = _pallas_sph.bucket_sph_sorted(
+        state.pos, state.vel, state.predicted, state.ids, params, coeffs,
+        cfg)
+    t_new = state.time + params.dt
+    pos, vel, predicted = integrate_mod.integrate(
+        s_pos, s_vel, acc, params, t_new)
+    return FluidState(
+        pos=pos,
+        vel=vel,
+        predicted=predicted,
+        acc=acc,
+        density=density,
+        near_density=near_density,
+        pressure=pressure,
+        near_pressure=near_pressure,
+        step_count=state.step_count + 1,
+        time=t_new,
+        overflow=overflow,
+        overflow_total=state.overflow_total + overflow.astype(jnp.float32),
+        ids=s_ids,
     )
 
 
@@ -104,7 +139,12 @@ def rollout(state: FluidState, params: SimParams, cfg: SimConfig,
 def trajectory(state: FluidState, params: SimParams, cfg: SimConfig,
                num_steps: int, record_every: int = 1):
     """Rollout that also stacks recorded positions: returns
-    (final_state, positions (num_records, n, dim))."""
+    (final_state, positions (num_records, n, dim)).
+
+    Note: under cfg.sorted_state the recorded rows are in each step's bucket
+    order (row identity varies frame to frame) — fine for rasters/point
+    clouds; for id-stable frames use Simulation.positions() per frame (the
+    CLI exporter does)."""
     if num_steps % record_every:
         raise ValueError(
             f"num_steps={num_steps} not divisible by record_every="

@@ -102,6 +102,7 @@ def shard_state(state: FluidState, mesh: Mesh, cfg: SimConfig,
         time=state.time,
         overflow=state.overflow,
         overflow_total=state.overflow_total,
+        ids=pack(state.ids, -1),
     )
     axis = mesh.axis_names[0]
 
@@ -780,6 +781,7 @@ def _migrate(state_local, active, params, cfg, gx_loc, axis, mig_cap: int):
             "pos": jnp.take(state_local.pos, order, axis=0),
             "vel": jnp.take(state_local.vel, order, axis=0),
             "predicted": jnp.take(state_local.predicted, order, axis=0),
+            "ids": jnp.take(state_local.ids, order),
             "valid": valid.astype(jnp.float32),
         }
         sent = jnp.sum(valid)
@@ -824,6 +826,7 @@ def _migrate(state_local, active, params, cfg, gx_loc, axis, mig_cap: int):
             pos=put(state_local.pos, inc["pos"], take),
             vel=put(state_local.vel, inc["vel"], take),
             predicted=put(state_local.predicted, inc["predicted"], take),
+            ids=put(state_local.ids, inc["ids"], take),
         )
         active = active.at[free_order].set(
             jnp.where(take, 1.0, jnp.take(active, free_order)))
@@ -860,7 +863,8 @@ def make_domain_step(mesh: Mesh, cfg: SimConfig, mig_cap: int = 256,
     state_spec = FluidState(
         pos=row2, vel=row2, predicted=row2, acc=row2, density=row,
         near_density=row, pressure=row, near_pressure=row,
-        step_count=P(), time=P(), overflow=P(), overflow_total=P())
+        step_count=P(), time=P(), overflow=P(), overflow_total=P(),
+        ids=row)
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(state_spec, row, P()),
@@ -890,7 +894,8 @@ def make_domain_step(mesh: Mesh, cfg: SimConfig, mig_cap: int = 256,
             step_count=state.step_count + 1, time=t_new,
             overflow=jax.lax.psum(overflow, axis),
             overflow_total=state.overflow_total
-            + jax.lax.psum(overflow, axis).astype(jnp.float32))
+            + jax.lax.psum(overflow, axis).astype(jnp.float32),
+            ids=state.ids)
         state, active, lost = _migrate(state, active, params, cfg, gx_loc,
                                        axis, mig_cap)
         lost_total = jax.lax.psum(lost, axis)

@@ -45,7 +45,13 @@ def load(path: str, params_like: SimParams | None = None):
                        for k, v in json.loads(str(data["config_json"])).items()})
     state_kw = {}
     for f in dataclasses.fields(FluidState):
-        state_kw[f.name] = jax.numpy.asarray(data[_STATE_PREFIX + f.name])
+        key = _STATE_PREFIX + f.name
+        if f.name == "ids" and key not in data:
+            # pre-ids checkpoints: rows were implicitly identity-ordered
+            n = data[_STATE_PREFIX + "pos"].shape[0]
+            state_kw["ids"] = jax.numpy.arange(n, dtype=jax.numpy.int32)
+            continue
+        state_kw[f.name] = jax.numpy.asarray(data[key])
     state = FluidState(**state_kw)
 
     if params_like is None:

@@ -107,7 +107,8 @@ class DistributedSimulation:
             step_count=jnp.asarray(jax.device_get(s.step_count)),
             time=jnp.asarray(jax.device_get(s.time)),
             overflow=jnp.asarray(jax.device_get(s.overflow)),
-            overflow_total=jnp.asarray(jax.device_get(s.overflow_total)))
+            overflow_total=jnp.asarray(jax.device_get(s.overflow_total)),
+            ids=take(s.ids))
 
     def stats(self) -> dict:
         pos, vel = self.particles()

@@ -154,14 +154,24 @@ class Simulation:
 
     # -- observation -------------------------------------------------------
 
+    def _by_id(self, arr: np.ndarray) -> np.ndarray:
+        """Rows in particle-id order. The sorted-state pallas step
+        (SimConfig.sorted_state) keeps device rows in bucket order — the
+        id-reorder happens HERE, on the host, only when the user observes,
+        instead of a per-step device scatter (identity no-op otherwise)."""
+        ids = np.asarray(self.state.ids)
+        out = np.empty_like(arr)
+        out[ids] = arr
+        return out
+
     def positions(self) -> np.ndarray:
-        """Device→host positions fetch — the analogue of the reference's
-        5.24 MB staging readback per frame (src/fluid_compute.rs:478), but on
-        demand instead of every step."""
-        return np.asarray(self.state.pos)
+        """Device→host positions fetch, in particle-id order — the analogue
+        of the reference's 5.24 MB staging readback per frame
+        (src/fluid_compute.rs:478), but on demand instead of every step."""
+        return self._by_id(np.asarray(self.state.pos))
 
     def velocities(self) -> np.ndarray:
-        return np.asarray(self.state.vel)
+        return self._by_id(np.asarray(self.state.vel))
 
     def snapshot(self) -> dict:
         """Full host-side state dict (also the checkpoint payload)."""

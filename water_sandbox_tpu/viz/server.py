@@ -249,8 +249,11 @@ class ViewerServer:
                 "spd": base64.b64encode(su8.tobytes()).decode(),
             })
         else:
-            pos = np.asarray(sim.state.pos)[self.sel].astype(np.float32)
-            vel = np.asarray(sim.state.vel)[self.sel]
+            # id-ordered fetch: sorted-state runs permute device rows each
+            # step — indexing raw rows would reshuffle the subsample (point
+            # identity flicker)
+            pos = sim.positions()[self.sel].astype(np.float32)
+            vel = sim.velocities()[self.sel]
             speed = np.linalg.norm(vel, axis=1).astype(np.float32)
             payload.update({
                 "pos": base64.b64encode(pos.tobytes()).decode(),
