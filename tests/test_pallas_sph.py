@@ -1,6 +1,8 @@
 """Pallas fused SPH kernels vs the XLA bucket pipeline (interpret mode on
 CPU; the same code compiles via Mosaic on TPU)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -60,9 +62,26 @@ def test_pallas_rejects_oversized_z():
         sph_bucket._geometry(cfg)
 
 
-@pytest.mark.parametrize("gate", [("slab", 1), ("slab", 2), ("slab", 4),
-                                  ("slab", 8), ("off", 4), ("off", 8),
-                                  ("qrow", 8), ("qsym", 8)])
+_slow_gate = pytest.mark.skipif(
+    not os.environ.get("WST_SLOW"),
+    reason="archaeology gate variant (not used in production); WST_SLOW=1")
+
+
+@pytest.mark.parametrize("gate", [
+    # production gates run in the default suite: ("slab", 8) is the density
+    # gate, ("qsym", 8) the single-chip force gate, ("qrow3", 8) the
+    # domain-decomposed force gate, ("qrow", 8) the un-trimmed qrow body
+    # the trimmed variants derive from
+    ("slab", 8), ("qrow", 8), ("qrow3", 8), ("qsym", 8),
+    # measured-and-rejected sweep variants (micro6): physics-identical by
+    # construction, pinned only under WST_SLOW to keep the default suite
+    # fast (each costs 2-4 min in interpret mode)
+    pytest.param(("slab", 1), marks=_slow_gate),
+    pytest.param(("slab", 2), marks=_slow_gate),
+    pytest.param(("slab", 4), marks=_slow_gate),
+    pytest.param(("off", 4), marks=_slow_gate),
+    pytest.param(("off", 8), marks=_slow_gate),
+])
 def test_gate_variants_match_xla_bucket(gate):
     """Every candidate-gating variant the micro6 sweep times must be
     physics-identical — whichever wins on the TPU can be adopted without a
