@@ -1,0 +1,119 @@
+"""Micro 28: cross-program window-DMA prefetch + gated qsym flush, A/B on
+the settled flagship checkpoint.
+
+Hypothesis (micro23 vs micro14): in-scan, both passes run ~2x their
+standalone pipelined rate — standalone reps overlap one call's window DMA
+with another call's compute, scan iterations cannot. So roughly half of
+every settled-step kernel millisecond is exposed window-DMA wait. The
+kernels now (a) issue grid step s+1's halo window during step s's compute
+(parity-doubled VMEM scratch, sequential TPU grid), and (b) gate the qsym
+flush/re-zero tile ops on the writer occupancy bounds. Both changes are
+bit-identical to the round-3 kernels (same math, same accumulation order).
+
+    PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/micro28_dma_prefetch.py
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import numpy as np
+
+
+def timeit(fn, *args, reps=10, warmup=2):
+    for _ in range(warmup):
+        out = fn(*args)
+    np.asarray(jax.device_get(jax.tree.leaves(out)[0].ravel()[0]))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    np.asarray(jax.device_get(jax.tree.leaves(out)[0].ravel()[0]))
+    return (time.perf_counter() - t0) / reps * 1e3
+
+
+def main():
+    import water_sandbox_tpu as wst
+    from water_sandbox_tpu.core.params import KernelCoeffs
+    from water_sandbox_tpu.ops.pallas import sph_bucket as sb
+    from water_sandbox_tpu.ops.step import rollout
+    from water_sandbox_tpu.runtime import checkpoint
+
+    sim = wst.Simulation.from_scene("moving-container-256k",
+                                    neighbor_mode="pallas")
+    state, params, _ = checkpoint.load("benchmarks/data/settled_256k.npz")
+    cfg = sim.cfg
+    coeffs = KernelCoeffs.from_radius(params.smoothing_radius, cfg.dim)
+
+    build = jax.jit(lambda p, v: sb._build_slab_buckets(p, v, params, cfg))
+    planes, counts, addr, overflow = build(state.predicted, state.vel)
+    gx, gy, gz, S, S_pad, NYC, PAD, L = sb._geometry(cfg)
+    own, m0 = sb.occupancy_bounds(counts, gx, S_pad, PAD, gz)
+    pv = sb._param_vector(params, coeffs)
+    dropped = addr == sb._cap_pad(cfg.cell_capacity) * L
+    print(f"n={cfg.n} dims={cfg.grid_dims} overflow={int(overflow)}",
+          flush=True)
+
+    results = {"n": cfg.n, "dims": list(cfg.grid_dims)}
+
+    def rec(name, val):
+        results[name] = round(val, 2)
+        print(f"{name:28s} {val:8.2f} ms", flush=True)
+
+    # density: prefetch off vs on
+    denses = {}
+    for pf in (False, True):
+        sb._DMA_PREFETCH = pf
+        key = "pf" if pf else "base"
+        run = jax.jit(lambda pl_, o_, m_, p_, pf=pf: sb._run_density(
+            pl_, o_, m_, p_, cfg, False))
+        rec(f"density_{key}", timeit(run, planes, own, m0, pv))
+        denses[key] = run(planes, own, m0, pv)
+    dens = denses["pf"]
+
+    # force: round-3 baseline (no prefetch, ungated flush) vs new
+    accs = {}
+    for pf, fg, key in ((False, False, "base"), (True, True, "pf_gated")):
+        sb._DMA_PREFETCH = pf
+        sb._FLUSH_GATED = fg
+        run = jax.jit(lambda pl_, d_, o_, m_, p_, k=key: sb._run_force(
+            pl_, d_, o_, m_, p_, cfg, False))
+        rec(f"force_{key}", timeit(run, planes, dens, own, m0, pv))
+        out_c = run(planes, dens, own, m0, pv)
+        _, _, acc = sb.gather_results(out_c, addr, dropped, params)
+        accs[key] = np.asarray(acc)
+    sb._DMA_PREFETCH = True
+    sb._FLUSH_GATED = True
+
+    # gathered (real-particle) rows only: rows above a column's occupancy
+    # hold unwritten VMEM garbage in BOTH variants and may differ freely
+    bits = (accs["pf_gated"].view(np.uint32) ^ accs["base"].view(np.uint32))
+    results["force_bit_identical"] = bool((bits == 0).all())
+    dden = np.abs(np.asarray(
+        sb.gather_results(denses["pf"], addr, dropped, params)[0]
+        - sb.gather_results(denses["base"], addr, dropped, params)[0]))
+    results["density_bit_identical"] = bool((dden == 0).all())
+    print("force bit identical:", results["force_bit_identical"],
+          "| density:", results["density_bit_identical"], flush=True)
+
+    # full-step in-scan number with everything on (the production truth)
+    roll = jax.jit(lambda s: rollout(s, params, cfg, 50))
+    st2 = roll(state)
+    np.asarray(st2.pos)
+    walls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        st2 = roll(st2)
+        np.asarray(st2.pos)
+        walls.append(time.perf_counter() - t0)
+    rec("step_new_ms", min(walls) / 50 * 1e3)
+    results["step_new_ps_per_s"] = round(cfg.n * 50 / min(walls), 0)
+    print("ps/s:", results["step_new_ps_per_s"], flush=True)
+
+    with open("benchmarks/micro28_dma_prefetch_results.json", "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -192,12 +192,18 @@ def _moving_container_256k():
     including dt = 1/60."""
     size = (40.0, 10.0, 14.0)
     pts = cube_fluid(198, 24, 56, center=(0.0, -2.0, 0.0))  # 266,112
-    # The trailing wall drags the fluid: its contact layer honestly
-    # compresses to ~20-30 particles/cell (the whole pool's inertia rides
-    # on wall pressure). cap 48 covers it with margin; the exact rescue
-    # sweep covers transients beyond that. Kinematics chosen so the wall
-    # sweep stays well below the EOS sound speed sqrt(22) ~ 4.7 m/s.
-    # cap 48 + yaw 0.02: a fast-yawing long box scoops its corners —
+    # Cell capacity 16: at the yawed-AABB grid below (no clamping
+    # pile-up) the measured occupancy over the FULL 1k-step trajectory —
+    # fresh lattice, transient slosh, settled drag — never exceeds 16
+    # (overflow_total == 0, benchmarks/micro29_capacity_results.json;
+    # settled own_max is 6, step_breakdown_results.json). Every
+    # cap-proportional step cost (plane fills, counts reduction, kernel
+    # output arrays + the gather relayout, qsym flush) shrinks 3x vs the
+    # pre-grid-fix cap 48: settled step 67.6 -> 44.8 ms. The exact rescue
+    # sweep still covers any params-retuned state beyond capacity.
+    # Kinematics chosen so the wall sweep stays well below the EOS sound
+    # speed sqrt(22) ~ 4.7 m/s.
+    # yaw 0.02: a fast-yawing long box scoops its corners —
     # measured corner cells reach 141 particles at yaw 0.05 even under
     # EXACT physics (the clamp holds them against the pressure response),
     # which keeps the O(rescue*n) exact fallback hot every step. At yaw
@@ -217,7 +223,7 @@ def _moving_container_256k():
     # sweep through ~950 steps from the lattice (yaw 0.16 rad); z=80 is
     # free vs z=72 (both pad to the same 3584-lane slab stride).
     cfg = SimConfig(n=pts.shape[0], dim=3, grid_dims=(168, 44, 80),
-                    cell_capacity=48, chunk=8192, rescue_capacity=16384,
+                    cell_capacity=16, chunk=8192, rescue_capacity=16384,
                     sorted_state=True)  # see reference-cube
     # k=100 (reference formula, stiffer constant — it's the HUD-tunable
     # pressure scalar): pressure stays positive everywhere (target 10 <<

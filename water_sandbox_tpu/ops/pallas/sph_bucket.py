@@ -63,6 +63,8 @@ _T = 256    # lane-chunk width (one grid program per (slab, chunk))
 _M = 128    # window lane margin; covers the oy/oz reach (needs gz < _M)
 _CLW = _T + 2 * _M   # per-slab window width in the VMEM scratch
 _TILE_OVERRIDE = None   # benchmarks may pin a tile width (e.g. 256/512)
+_FLUSH_GATED = True     # qsym flush/re-zero gated on occupancy bounds
+_DMA_PREFETCH = True    # window DMA for grid step s+1 issued during step s
 
 
 def _pick_tile(S: int) -> int:
@@ -323,29 +325,68 @@ def occupancy_bounds(counts: Array, gx: int, S_pad: int, PAD: int,
             jnp.ceil(m0).astype(jnp.int32))
 
 
-def _gated_window_dma(refs, scratches, sems, occs, i, yc, *, cap, S_pad,
-                      run_wait, slabs=(0, 1, 2)):
-    """Start (or wait) the halo-window copies: per (slab c, 8-slot block b),
-    gated on that slab-chunk's occupancy bound — empty blocks (the common
-    case at per-cell occupancy ~2) move no bytes. refs/scratches are
-    parallel lists (the force pass windows two HBM arrays). ``slabs``
-    restricts which window slabs are copied (the symmetric force pass
-    never reads slab x-1 — those pairs arrive as slab x-1's candidate
-    writes)."""
-    NB = cap // 8
-    for c in slabs:
-        start = _M + (i + c) * S_pad + yc * _T
-        for b in range(NB):
-            @pl.when(occs[c] > 8 * b)
-            def _(c=c, b=b, start=start):
-                for k, (ref, scr) in enumerate(zip(refs, scratches)):
-                    cp = pltpu.make_async_copy(
-                        ref.at[:, pl.ds(8 * b, 8), pl.ds(start, _CLW)],
-                        scr.at[:, pl.ds(8 * b, 8),
-                               pl.ds(c * _CLW, _CLW)],
-                        sems.at[c, b, k],
-                    )
-                    cp.wait() if run_wait else cp.start()
+def _window_dma(refs, scratches, sems, own_ref, m0_ref, *, cap, S_pad,
+                NYC, gx, slabs=(0, 1, 2)):
+    """Halo-window copies into the parity-doubled VMEM scratch: per (slab
+    c, 8-slot block b), gated on that slab-chunk's occupancy bound — empty
+    blocks (the common case at per-cell occupancy ~2) move no bytes.
+    refs/scratches are parallel lists (the force pass windows two HBM
+    arrays); scratches carry a leading parity dim of 2. ``slabs`` restricts
+    which window slabs are copied (the symmetric force pass never reads
+    slab x-1 — those pairs arrive as slab x-1's candidate writes).
+
+    With _DMA_PREFETCH (default), the window for grid step s+1 is issued
+    DURING step s's compute (TPU grid steps run sequentially): each step
+    waits for its own window (started one step earlier), then immediately
+    starts the next step's copies into the other parity buffer before any
+    pair math runs. This hides the window-DMA latency — measured in-scan,
+    the passes are ~2x their pipelined standalone rate, i.e. roughly half
+    of every settled step was exposed DMA wait (benchmarks/micro23 vs
+    micro14/28). Semaphores need no parity dim: a slot's signal is always
+    consumed (wait for step s) before the same slot is re-armed (issue for
+    s+1). Returns the parity index selecting this step's scratch buffer."""
+    i = pl.program_id(0)
+    yc = pl.program_id(1)
+
+    def copies(ii, jj, pp, action):
+        own = own_ref[ii, jj]
+        for c in slabs:
+            occ_c = m0_ref[ii + c, jj]
+            start = _M + (ii + c) * S_pad + jj * _T
+            for b in range(cap // 8):
+                @pl.when((own > 0) & (occ_c > 8 * b))
+                def _(c=c, b=b, start=start):
+                    for k, (ref, scr) in enumerate(zip(refs, scratches)):
+                        cp = pltpu.make_async_copy(
+                            ref.at[:, pl.ds(8 * b, 8), pl.ds(start, _CLW)],
+                            scr.at[pp, :, pl.ds(8 * b, 8),
+                                   pl.ds(c * _CLW, _CLW)],
+                            sems.at[c, b, k],
+                        )
+                        cp.start() if action == "start" else cp.wait()
+
+    if not _DMA_PREFETCH:
+        copies(i, yc, 0, "start")
+        copies(i, yc, 0, "wait")
+        return 0
+
+    s = i * NYC + yc
+    par = jax.lax.rem(s, 2)
+
+    @pl.when(s == 0)
+    def _prologue():
+        copies(i, yc, par, "start")     # par == 0 on step 0
+
+    copies(i, yc, par, "wait")
+
+    @pl.when(s < gx * NYC - 1)
+    def _issue_next():
+        wrap = yc == NYC - 1
+        i2 = jnp.where(wrap, i + 1, i)
+        yc2 = jnp.where(wrap, 0, yc + 1)
+        copies(i2, yc2, 1 - par, "start")
+
+    return par
 
 
 # candidate-gating knobs, picked by measurement on the settled flagship
@@ -401,19 +442,19 @@ def _gated_slot_loops(occs, do_rows, *, dim, cap, gz, struct, block):
 
 
 def _density_kernel(own_ref, m0_ref, params_ref, feats_ref, out_ref,
-                    scratch, acc_scr, sems, *, dim, cap, gz, S_pad, gate):
+                    scr2, acc_scr, sems, *, dim, cap, gz, S_pad, NYC, gx,
+                    gate):
     i = pl.program_id(0)
     yc = pl.program_id(1)
     occ_own = own_ref[i, yc]
     occs = [m0_ref[i, yc], m0_ref[i + 1, yc], m0_ref[i + 2, yc]]
 
+    par = _window_dma([feats_ref], [scr2], sems, own_ref, m0_ref,
+                      cap=cap, S_pad=S_pad, NYC=NYC, gx=gx)
+    scratch = scr2.at[par]
+
     @pl.when(occ_own > 0)
     def _run():
-        _gated_window_dma([feats_ref], [scratch], sems, occs, i, yc,
-                          cap=cap, S_pad=S_pad, run_wait=False)
-        _gated_window_dma([feats_ref], [scratch], sems, occs, i, yc,
-                          cap=cap, S_pad=S_pad, run_wait=True)
-
         h = params_ref[0, _P_H]
         pow2 = params_ref[0, _P_POW2]
         pow3 = params_ref[0, _P_POW3]
@@ -544,20 +585,20 @@ def _density_kernel(own_ref, m0_ref, params_ref, feats_ref, out_ref,
 
 
 def _force_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref, out_ref,
-                  scratch, dscratch, acc_scr, sems, *, dim, cap, gz,
-                  S_pad, gate):
+                  scr2, dscr2, acc_scr, sems, *, dim, cap, gz,
+                  S_pad, NYC, gx, gate):
     i = pl.program_id(0)
     yc = pl.program_id(1)
     occ_own = own_ref[i, yc]
     occs = [m0_ref[i, yc], m0_ref[i + 1, yc], m0_ref[i + 2, yc]]
 
+    par = _window_dma([feats_ref, dens_ref], [scr2, dscr2], sems,
+                      own_ref, m0_ref, cap=cap, S_pad=S_pad, NYC=NYC, gx=gx)
+    scratch = scr2.at[par]
+    dscratch = dscr2.at[par]
+
     @pl.when(occ_own > 0)
     def _run():
-        _gated_window_dma([feats_ref, dens_ref], [scratch, dscratch], sems,
-                          occs, i, yc, cap=cap, S_pad=S_pad, run_wait=False)
-        _gated_window_dma([feats_ref, dens_ref], [scratch, dscratch], sems,
-                          occs, i, yc, cap=cap, S_pad=S_pad, run_wait=True)
-
         h = params_ref[0, _P_H]
         h2 = h * h
         pow2_der = params_ref[0, _P_POW2_DER]
@@ -889,8 +930,8 @@ def _force_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref, out_ref,
 
 
 def _force_sym_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref,
-                      out_ref, scratch, dscratch, acc_scr, sameb, nextb,
-                      sems, *, dim, cap, gz, S_pad, NYC, sym=True,
+                      out_ref, scr2, dscr2, acc_scr, sameb, nextb,
+                      sems, *, dim, cap, gz, S_pad, NYC, gx, sym=True,
                       sym_same=True, sym_next=True):
     """Newton's-third-law force pass ("qsym"): every unordered pair is
     evaluated ONCE and its force applied to BOTH particles.
@@ -940,6 +981,13 @@ def _force_sym_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref,
             nextb[0, a] = jnp.zeros((NYC, cap, W), jnp.float32)
             nextb[1, a] = jnp.zeros((NYC, cap, W), jnp.float32)
 
+    slabs = (1, 2) if (sym and sym_next) else (0, 1, 2)
+    par = _window_dma([feats_ref, dens_ref], [scr2, dscr2], sems,
+                      own_ref, m0_ref, cap=cap, S_pad=S_pad, NYC=NYC,
+                      gx=gx, slabs=slabs)
+    scratch = scr2.at[par]
+    dscratch = dscr2.at[par]
+
     # acc output tiles must be fully defined even for empty chunks (the
     # flush below may add neighbor-chunk contributions to any row)
     for a in range(dim):
@@ -947,14 +995,6 @@ def _force_sym_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref,
 
     @pl.when(occ_own > 0)
     def _run():
-        slabs = (1, 2) if (sym and sym_next) else (0, 1, 2)
-        _gated_window_dma([feats_ref, dens_ref], [scratch, dscratch], sems,
-                          occs, i, yc, cap=cap, S_pad=S_pad,
-                          run_wait=False, slabs=slabs)
-        _gated_window_dma([feats_ref, dens_ref], [scratch, dscratch], sems,
-                          occs, i, yc, cap=cap, S_pad=S_pad,
-                          run_wait=True, slabs=slabs)
-
         h = params_ref[0, _P_H]
         h2 = h * h
         pow2_der = params_ref[0, _P_POW2_DER]
@@ -1072,38 +1112,75 @@ def _force_sym_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref,
         return
 
     # ---- flush: own tile += candidate contributions (always, even for
-    # empty chunks — neighbors may have written into our lanes) ----
-    for a in range(dim):
-        add = (sameb[a, yc, :, pl.ds(128, _T)]
-               + nextb[rpar, a, yc, :, pl.ds(128, _T)])
-        out_ref[2 + a] = out_ref[2 + a] + add
+    # empty chunks — neighbors may have written into our lanes). Every
+    # writer into block column b of sameb[·, b] / the nextb partition read
+    # here was gated on the SAME prefetched bound m0[i+1, b] (own-slab
+    # writers use occs[1] at slab i, the x+1 writers occs[2] at slab i-1 —
+    # both resolve to m0_ref[i+1, b]), so slot blocks at or above that
+    # bound are bit-exactly zero: skipping their adds and re-zero stores
+    # changes nothing (x + 0.0 == x for every written value) and drops
+    # ~cap/8-1 of the (8, W) tile ops per chunk at settled occupancy. ----
+    def _gated_blocks(bound, do_block):
+        if not _FLUSH_GATED:       # A/B knob (benchmarks/micro27)
+            for b0 in range(0, cap, 8):
+                do_block(b0)
+            return
+        for b0 in range(0, cap, 8):
+            @pl.when(bound > b0)
+            def _(b0=b0):
+                do_block(b0)
+
+    def _flush_own(b0):
+        bsl = pl.ds(b0, 8)
+        for a in range(dim):
+            add = (sameb[a, yc, bsl, pl.ds(128, _T)]
+                   + nextb[rpar, a, yc, bsl, pl.ds(128, _T)])
+            out_ref[2 + a, bsl, :] = out_ref[2 + a, bsl, :] + add
+
+    _gated_blocks(m0_ref[i + 1, yc], _flush_own)
 
     @pl.when(yc > 0)
     def _left_margins():
         prev = jnp.maximum(yc - 1, 0)
-        for a in range(dim):
-            add = (sameb[a, prev, :, pl.ds(128 + _T, 128)]
-                   + nextb[rpar, a, prev, :, pl.ds(128 + _T, 128)])
-            out_ref[2 + a, :, pl.ds(0, 128)] = (
-                out_ref[2 + a, :, pl.ds(0, 128)] + add)
-        # block yc-1's last reader is this step: re-zero for reuse
-        for a in range(dim):
-            sameb[a, prev] = jnp.zeros((cap, W), jnp.float32)
-            nextb[rpar, a, prev] = jnp.zeros((cap, W), jnp.float32)
+
+        def _do(b0):
+            bsl = pl.ds(b0, 8)
+            for a in range(dim):
+                add = (sameb[a, prev, bsl, pl.ds(128 + _T, 128)]
+                       + nextb[rpar, a, prev, bsl, pl.ds(128 + _T, 128)])
+                out_ref[2 + a, bsl, pl.ds(0, 128)] = (
+                    out_ref[2 + a, bsl, pl.ds(0, 128)] + add)
+            # block yc-1's last reader is this step: re-zero for reuse
+            for a in range(dim):
+                sameb[a, prev, bsl, :] = jnp.zeros((8, W), jnp.float32)
+                nextb[rpar, a, prev, bsl, :] = jnp.zeros(
+                    (8, W), jnp.float32)
+
+        _gated_blocks(m0_ref[i + 1, prev], _do)
 
     @pl.when(yc < NYC - 1)
     def _right_margin():
         nxt = jnp.minimum(yc + 1, NYC - 1)
-        for a in range(dim):
-            out_ref[2 + a, :, pl.ds(_T - 128, 128)] = (
-                out_ref[2 + a, :, pl.ds(_T - 128, 128)]
-                + nextb[rpar, a, nxt, :, pl.ds(0, 128)])
+
+        def _do(b0):
+            bsl = pl.ds(b0, 8)
+            for a in range(dim):
+                out_ref[2 + a, bsl, pl.ds(_T - 128, 128)] = (
+                    out_ref[2 + a, bsl, pl.ds(_T - 128, 128)]
+                    + nextb[rpar, a, nxt, bsl, pl.ds(0, 128)])
+
+        _gated_blocks(m0_ref[i + 1, nxt], _do)
 
     @pl.when(yc == NYC - 1)
     def _zero_last():
-        for a in range(dim):
-            sameb[a, NYC - 1] = jnp.zeros((cap, W), jnp.float32)
-            nextb[rpar, a, NYC - 1] = jnp.zeros((cap, W), jnp.float32)
+        def _do(b0):
+            bsl = pl.ds(b0, 8)
+            for a in range(dim):
+                sameb[a, NYC - 1, bsl, :] = jnp.zeros((8, W), jnp.float32)
+                nextb[rpar, a, NYC - 1, bsl, :] = jnp.zeros(
+                    (8, W), jnp.float32)
+
+        _gated_blocks(m0_ref[i + 1, NYC - 1], _do)
 
 
 def _param_vector(params: SimParams, coeffs: KernelCoeffs) -> Array:
@@ -1140,7 +1217,8 @@ def _run_density(planes, own, m0, params_vec, cfg, interpret, gate=None):
     dim, cap = cfg.dim, _cap_pad(cfg.cell_capacity)
     NB = cap // 8
     body = functools.partial(_density_kernel, dim=dim, cap=cap, gz=gz,
-                             S_pad=S_pad, gate=gate or _DENSITY_GATE)
+                             S_pad=S_pad, NYC=NYC, gx=gx,
+                             gate=gate or _DENSITY_GATE)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(gx, NYC),
@@ -1154,7 +1232,7 @@ def _run_density(planes, own, m0, params_vec, cfg, interpret, gate=None):
             lambda i, yc, *_: (0, 0, (NYC + 1) + i * NYC + yc),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((dim, cap, 3 * _CLW), jnp.float32),
+            pltpu.VMEM((2, dim, cap, 3 * _CLW), jnp.float32),
             pltpu.VMEM((2, 8, _T), jnp.float32),
             pltpu.SemaphoreType.DMA((3, NB, 1)),
         ],
@@ -1181,7 +1259,7 @@ def _run_force(planes, dens, own, m0, params_vec, cfg, interpret, gate=None):
                 f"qsym force pass needs grid z-dim <= 127 (candidate-write "
                 f"block margins are 128 lanes); got {gz}")
         body = functools.partial(_force_sym_kernel, dim=dim, cap=cap,
-                                 gz=gz, S_pad=S_pad, NYC=NYC,
+                                 gz=gz, S_pad=S_pad, NYC=NYC, gx=gx,
                                  sym=gate[0] != "qsym0",
                                  sym_same=gate[0] in ("qsym", "qsym1"),
                                  sym_next=gate[0] in ("qsym", "qsym2"))
@@ -1192,7 +1270,7 @@ def _run_force(planes, dens, own, m0, params_vec, cfg, interpret, gate=None):
         semantics = ("arbitrary", "arbitrary")
     else:
         body = functools.partial(_force_kernel, dim=dim, cap=cap, gz=gz,
-                                 S_pad=S_pad, gate=gate)
+                                 S_pad=S_pad, NYC=NYC, gx=gx, gate=gate)
         extra_scratch = []
         semantics = None
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1209,8 +1287,8 @@ def _run_force(planes, dens, own, m0, params_vec, cfg, interpret, gate=None):
             lambda i, yc, *_: (0, 0, (NYC + 1) + i * NYC + yc),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2 * dim, cap, 3 * _CLW), jnp.float32),
-            pltpu.VMEM((6, cap, 3 * _CLW), jnp.float32),
+            pltpu.VMEM((2, 2 * dim, cap, 3 * _CLW), jnp.float32),
+            pltpu.VMEM((2, 6, cap, 3 * _CLW), jnp.float32),
             pltpu.VMEM((dim, 8, _T), jnp.float32),
         ] + extra_scratch + [
             pltpu.SemaphoreType.DMA((3, NB, 2)),
