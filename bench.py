@@ -17,12 +17,23 @@ state, settled with the same compiled 50-step rollout program that is then
 timed (the warmup compiles exactly the measured program); best of 3
 windows (the axon tunnel adds multi-ms run-to-run jitter on identical
 programs); the transient (fresh lattice) rate is reported alongside.
+
+PINNED PROTOCOL (VERDICT r3 item 8 — round-over-round deltas must be
+attributable to code, not protocol drift): settle = 600 steps, window =
+50 steps, best of 3 windows, flagship scene `moving-container-256k` at
+its registry config + reference-cube head-to-head. The JSON carries
+`ms_per_step` and a full config fingerprint (n, grid_dims, cell_capacity,
+sorted_state, resolved neighbor_mode, kernel gates, tile width, dt, k) so
+any scene/kernel retune is visible in the artifact itself. Env overrides
+(WST_BENCH_*) exist for experiments only — the driver runs the defaults.
 """
 
 import json
 import os
 import sys
 import time
+
+PROTOCOL = "settle600+best3x50"
 
 
 def measure(scene, mode, chunk, settle):
@@ -68,7 +79,7 @@ def main():
     scene = os.environ.get("WST_BENCH_SCENE", "moving-container-256k")
     chunk = int(os.environ.get("WST_BENCH_STEPS", "50"))
     settle = int(os.environ.get("WST_BENCH_SETTLE", "600"))
-    mode = os.environ.get("WST_BENCH_MODE", "pallas")
+    mode = os.environ.get("WST_BENCH_MODE", "auto")
     baseline = 65536 * 60.0  # reference implied particle-steps/s
 
     sim, rate, transient, done = measure(scene, mode, chunk, settle)
@@ -100,15 +111,36 @@ def main():
                              sim.params.smoothing_radius))
     flops_per_s = pairs * 61.0 * rate / sim.cfg.n
 
+    from water_sandbox_tpu.ops.pallas import sph_bucket as _sb
+
+    def fingerprint(s):
+        return {
+            "scene": s.name, "n": s.cfg.n,
+            "neighbor_mode": s.cfg.neighbor_mode,  # resolved by Simulation
+            "grid_dims": list(s.cfg.grid_dims),
+            "cell_capacity": s.cfg.cell_capacity,
+            "sorted_state": s.cfg.sorted_state,
+            "density_gate": list(_sb._DENSITY_GATE),
+            "force_gate": list(_sb._FORCE_GATE),
+            "tile": _sb._pick_tile(
+                s.cfg.grid_dims[1] * (s.cfg.grid_dims[2]
+                                      if s.cfg.dim == 3 else 1)),
+            "dt": float(s.params.dt),
+            "pressure_scalar": float(s.params.pressure_scalar),
+        }
+
     out = {
         "metric": (f"particle-steps/sec/chip ({scene}, n={sim.cfg.n}, "
                    f"settled@{done}; transient={transient:.3g})"),
         "value": round(rate, 1),
         "unit": "particle-steps/s",
         "vs_baseline": round(rate / baseline, 3),
+        "ms_per_step": round(1e3 * sim.cfg.n / rate, 2),
+        "protocol": PROTOCOL,
         "true_pairs_per_particle": round(pairs / sim.cfg.n, 1),
         "pair_gflops_per_s": round(flops_per_s / 1e9, 1),
         "vpu_mfu_est": round(flops_per_s / 3.2e12, 4),
+        "config": fingerprint(sim),
     }
 
     # head-to-head on the reference's OWN scene (skip if it was primary)
@@ -117,6 +149,8 @@ def main():
         out["reference_scene_ps_per_s"] = round(rate_r, 1)
         out["reference_scene_vs_baseline"] = round(rate_r / baseline, 3)
         out["reference_scene_fps_at_dt60"] = round(rate_r / 65536, 1)
+        out["reference_scene_ms_per_step"] = round(1e3 * 65536 / rate_r, 2)
+        out["reference_scene_config"] = fingerprint(sim_r)
 
     print(json.dumps(out))
 

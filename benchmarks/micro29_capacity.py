@@ -24,7 +24,13 @@ import numpy as np
 
 
 def main():
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
     import water_sandbox_tpu as wst
+    from water_sandbox_tpu.ops import hashing, step as step_mod
     from water_sandbox_tpu.ops.step import rollout
 
     results = {}
@@ -32,14 +38,43 @@ def main():
         sim = wst.Simulation.from_scene("moving-container-256k",
                                         neighbor_mode="pallas",
                                         cell_capacity=cap)
+        params, cfg = sim.params, sim.cfg
+        dims = jnp.asarray(cfg.grid_dims, jnp.int32)
+        ncells = int(np.prod(cfg.grid_dims))
+
+        # EVERY-step peak per-cell occupancy (ADVICE r3: overflow_total == 0
+        # only proves peak <= cap; the margin above the true peak was never
+        # recorded). Counted on each step's post-step `predicted` — the keys
+        # the NEXT step's build will bucket — via a plain scatter-add, so the
+        # peak is trajectory-wide, not sampled at chunk boundaries.
+        @functools.partial(jax.jit, donate_argnums=0)
+        def chunk50(carry):
+            def body(c, _):
+                s, peak = c
+                s = step_mod.step(s, params, cfg)
+                origin = hashing.grid_origin(s.predicted,
+                                             params.smoothing_radius)
+                cell = jnp.floor((s.predicted - origin)
+                                 / params.smoothing_radius).astype(jnp.int32)
+                cell = jnp.clip(cell, 0, dims - 1)
+                key = (cell[:, 0] * cfg.grid_dims[1]
+                       + cell[:, 1]) * cfg.grid_dims[2] + cell[:, 2]
+                cnt = jnp.zeros((ncells,), jnp.int32).at[key].add(
+                    1, mode="promise_in_bounds")
+                return (s, jnp.maximum(peak, cnt.max())), None
+            return jax.lax.scan(body, carry, None, length=50)[0]
+
+        carry = (sim.state, jnp.zeros((), jnp.int32))
         done = 0
         t0 = time.perf_counter()
         while done < 1000:
-            sim.state = rollout(sim.state, sim.params, sim.cfg, 50)
+            carry = chunk50(carry)
             done += 50
+        sim.state, peak = carry
         np.asarray(sim.state.pos)
         wall = time.perf_counter() - t0
         overflow = float(np.asarray(sim.state.overflow_total))
+        peak = int(np.asarray(peak))
 
         # settled window, same compiled program
         walls = []
@@ -52,6 +87,8 @@ def main():
         st = sim.stats()
         results[f"cap{cap}"] = {
             "overflow_total_1k": overflow,
+            "peak_cell_occupancy_1k": peak,
+            "capacity_margin": cap - peak,
             "settled_step_ms": round(step_ms, 2),
             "ps_per_s": round(sim.cfg.n / step_ms * 1e3, 0),
             "kinetic_energy": float(st["kinetic_energy"]),
@@ -63,6 +100,8 @@ def main():
         if overflow == 0.0:
             break   # smallest clean capacity found; no need to go larger
 
+    results["note"] = ("wall_1k_s includes the per-step occupancy counting "
+                       "scatter-add; settled_step_ms does not (plain rollout)")
     with open("benchmarks/micro29_capacity_results.json", "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results))

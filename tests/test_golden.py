@@ -131,3 +131,16 @@ def test_golden_trajectory(key):
         np.testing.assert_allclose(pos.max(0), g["bbox_hi"], atol=5e-3)
     np.testing.assert_allclose(np.asarray(s.density).mean(), g["mean_rho"],
                                rtol=2e-3)
+    # distributional pins (VERDICT r3 item 6): speed/density quantiles catch
+    # re-equilibrated physics bugs that preserve the bulk moments above —
+    # demonstrated by benchmarks/golden_sensitivity.py (dw_near sign flip
+    # trips these). Permutation-invariant, so sorted_state-safe.
+    if "vq" in g:
+        speed = np.sqrt((vel**2).sum(axis=1))
+        np.testing.assert_allclose(
+            np.quantile(speed, (0.1, 0.5, 0.9)), g["vq"],
+            rtol=2e-3, atol=1e-3)
+    if "rq" in g:
+        np.testing.assert_allclose(
+            np.quantile(np.asarray(s.density), (0.1, 0.5, 0.9)), g["rq"],
+            rtol=2e-3)

@@ -33,12 +33,21 @@ def stats(name, mode, steps, **kw):
               file=sys.stderr, flush=True)
     pos = np.asarray(state.pos)
     vel = np.asarray(state.vel)
+    speed = np.sqrt((vel ** 2).sum(axis=1))
+    rho = np.asarray(state.density)
     return {
         "com": [round(float(x), 5) for x in pos.mean(0)],
         "ke": round(float(0.5 * (vel ** 2).sum()), 2),
         "bbox_lo": [round(float(x), 5) for x in pos.min(0)],
         "bbox_hi": [round(float(x), 5) for x in pos.max(0)],
-        "mean_rho": round(float(np.asarray(state.density).mean()), 4),
+        "mean_rho": round(float(rho.mean()), 4),
+        # distributional pins (VERDICT r3 item 6): speed/density quantiles
+        # catch re-equilibrated physics bugs that preserve the moments above
+        # (permutation-invariant, so sorted_state-safe)
+        "vq": [round(float(np.quantile(speed, q)), 5)
+               for q in (0.1, 0.5, 0.9)],
+        "rq": [round(float(np.quantile(rho, q)), 4)
+               for q in (0.1, 0.5, 0.9)],
         "overflow": int(np.asarray(state.overflow)),
         "overflow_total": float(np.asarray(state.overflow_total)),
     }

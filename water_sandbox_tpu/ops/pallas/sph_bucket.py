@@ -64,7 +64,11 @@ _M = 128    # window lane margin; covers the oy/oz reach (needs gz < _M)
 _CLW = _T + 2 * _M   # per-slab window width in the VMEM scratch
 _TILE_OVERRIDE = None   # benchmarks may pin a tile width (e.g. 256/512)
 _FLUSH_GATED = True     # qsym flush/re-zero gated on occupancy bounds
-_DMA_PREFETCH = True    # window DMA for grid step s+1 issued during step s
+# Window DMA for grid step s+1 issued during step s. Benchmark-only knob:
+# the False (baseline) path still allocates the parity-doubled window
+# scratch it never uses (~2x VMEM vs the true round-3 kernel), so
+# VMEM-pressure-sensitive A/Bs slightly favor the prefetch variant.
+_DMA_PREFETCH = True
 
 
 def _pick_tile(S: int) -> int:

@@ -36,7 +36,9 @@ def step(state: FluidState, params: SimParams, cfg: SimConfig,
     """Advance one dt. Pure; jit with static cfg:
     ``jax.jit(step, static_argnums=2)`` (the runtime does this, with donated
     state). ``constrain`` threads a sharding hook into the bucket pipeline
-    (see parallel/gspmd.py)."""
+    (see parallel/gspmd.py). neighbor_mode='auto' resolves per backend at
+    trace time (pallas on TPU — SimConfig.resolved)."""
+    cfg = cfg.resolved()
     coeffs = KernelCoeffs.from_radius(params.smoothing_radius, cfg.dim)
     predicted = state.predicted
 
@@ -123,6 +125,7 @@ def rollout(state: FluidState, params: SimParams, cfg: SimConfig,
     bucket planes resident and integrates them in place, re-inserting only
     cell-crossing movers (ops/pallas/incremental.py) — the full bucket
     rebuild runs once at entry and then every K steps."""
+    cfg = cfg.resolved()
     if (cfg.neighbor_mode == "pallas" and cfg.incremental_rebuild > 0
             and _pallas_sph is not None):
         from .pallas import incremental
@@ -145,6 +148,7 @@ def trajectory(state: FluidState, params: SimParams, cfg: SimConfig,
     order (row identity varies frame to frame) — fine for rasters/point
     clouds; for id-stable frames use Simulation.positions() per frame (the
     CLI exporter does)."""
+    cfg = cfg.resolved()
     if num_steps % record_every:
         raise ValueError(
             f"num_steps={num_steps} not divisible by record_every="

@@ -54,7 +54,10 @@ class Simulation:
 
     def __init__(self, cfg: SimConfig, params: SimParams, state: FluidState,
                  name: str = "custom"):
-        self.cfg = cfg
+        # resolve neighbor_mode='auto' up front (pallas on TPU) so the held
+        # cfg names the pipeline that actually runs and host-side logic
+        # (e.g. _by_id under sorted_state) sees the effective flags
+        self.cfg = cfg.resolved()
         self.params = params
         self.state = state
         self.name = name
