@@ -140,6 +140,30 @@ def test_viewer_server_roundtrip(sim):
                                       timeout=5).read().decode()
         assert "pressure_scalar" in desc
         assert float(sim.params.pressure_scalar) == pytest.approx(k0 + 0.1)
+
+        # mouse-driven interaction field (BASELINE config 2): /field aims
+        # the InteractionField, the next frame advertises it, /field?off=1
+        # disables it
+        desc = urllib.request.urlopen(
+            f"{base}/field?x=0.5&y=-0.25&z=0.1&s=-20", timeout=5
+        ).read().decode()
+        assert "field" in desc
+        assert float(sim.params.field.strength) == pytest.approx(-20.0)
+        np.testing.assert_allclose(np.asarray(sim.params.field.position),
+                                   [0.5, -0.25, 0.1], atol=1e-6)
+        assert float(sim.params.field.radius) > 0
+        for _ in range(300):
+            frame = json.loads(urllib.request.urlopen(
+                f"{base}/state.json", timeout=5).read())
+            if "field" in frame:
+                break
+            time.sleep(0.05)
+        assert frame["field"]["s"] == pytest.approx(-20.0)
+        assert frame["field"]["p"] == pytest.approx([0.5, -0.25, 0.1])
+        desc = urllib.request.urlopen(f"{base}/field?off=1",
+                                      timeout=5).read().decode()
+        assert "off" in desc
+        assert float(sim.params.field.strength) == 0.0
     finally:
         server.stop()
         t.join(timeout=30)

@@ -35,6 +35,7 @@ body{margin:0;background:#0b0e14;color:#aab;font:12px monospace;overflow:hidden}
 canvas{display:block}
 </style></head><body>
 <div id="hud"></div><div id="msg">drag orbit · wheel zoom · shift-drag pan ·
+ctrl-drag repel · ctrl+shift-drag attract (mouse field) ·
 keys: 1/2 radius q/w pressure a/s near z/x density e/r viscosity 3/4 gravity
 0/9 g-off/on space reset p pause</div>
 <canvas id="c"></canvas><script>
@@ -47,6 +48,7 @@ function b64f32(s){const b=atob(s),a=new Uint8Array(b.length);
 function b64u8(s){const b=atob(s),a=new Uint8Array(b.length);
  for(let i=0;i<b.length;i++)a[i]=b.charCodeAt(i);return a;}
 const oc=document.createElement('canvas'),octx=oc.getContext('2d');
+let rastXf=null;
 async function poll(){try{
  const r=await fetch('/state.json');frame=await r.json();
  if(frame.mode==='raster'){frame.den=b64u8(frame.den);frame.spd=b64u8(frame.spd);}
@@ -72,9 +74,20 @@ function drawRaster(w,h){
  const hx=frame.half[0],hy=frame.half[1];
  const s=0.9*Math.min(w/(2*hx),h/(2*hy))*(frame.extent*2.2/dist);
  const dw=2*hx*s,dh=2*hy*s,dx=w/2+panX-dw/2,dy=h/2+panY-dh/2;
+ rastXf={dx:dx,dy:dy,dw:dw,dh:dh};
  ctx.imageSmoothingEnabled=true;
  ctx.drawImage(oc,dx,dy,dw,dh);
  ctx.strokeStyle='#31425c';ctx.strokeRect(dx,dy,dw,dh);
+ drawField(p=>{const fx=(p[0]-(frame.center[0]-hx))/(2*hx),
+   fy=(p[1]-(frame.center[1]-hy))/(2*hy);
+   return [dx+fx*dw, dy+(1-fy)*dh, dw/(2*hx)];});
+}
+function drawField(toScreen){
+ const f=frame.field; if(!f||!f.s)return;
+ const q=toScreen(f.p); if(!q)return;
+ ctx.strokeStyle=f.s>0?'#e06c75':'#98c379';
+ ctx.beginPath();ctx.arc(q[0],q[1],Math.max(4,f.r*q[2]),0,2*Math.PI);
+ ctx.stroke();
 }
 function draw(){requestAnimationFrame(draw);if(!frame)return;
  const w=cv.width,h=cv.height;ctx.fillStyle='#0b0e14';ctx.fillRect(0,0,w,h);
@@ -125,12 +138,44 @@ function draw(){requestAnimationFrame(draw);if(!frame)return;
   ctx.fillStyle=`hsl(${200-160*t},90%,${35+40*t}%)`;
   const r=Math.max(1,p[2]*frame.radius);
   ctx.fillRect(p[0]-r/2,p[1]-r/2,r,r);}
+ drawField(fp=>proj(fp[0],fp[1],is3d?(fp[2]||0):0));
+}
+// mouse-field: screen -> world (raster: container-plane affine; points 2D:
+// inverse of the linear proj; points 3D: the camera-facing plane through
+// the container center)
+function world(px,py){
+ const w=cv.width,h=cv.height;
+ if(frame.mode==='raster'){
+  if(!rastXf)return null;
+  const fx=(px-rastXf.dx)/rastXf.dw, fy=1-(py-rastXf.dy)/rastXf.dh;
+  return [frame.center[0]+(2*fx-1)*frame.half[0],
+          frame.center[1]+(2*fy-1)*frame.half[1]];
+ }
+ const f=0.9*Math.min(w,h), s=f/dist;
+ const X=(px-w/2-panX)/s, Y=-(py-h/2-panY)/s;
+ if(frame.dim!==3)return [frame.center[0]+X, frame.center[1]+Y];
+ const cy=Math.cos(yaw),sy=Math.sin(yaw),cp=Math.cos(pitch),sp=Math.sin(pitch);
+ const y=Y*cp, Z0=-sp*Y, x=cy*X-sy*Z0, z=sy*X+cy*Z0;
+ return [frame.center[0]+x, frame.center[1]+y, (frame.center[2]||0)+z];
+}
+let fieldDrag=0,lastSend=0;
+function sendField(px,py){
+ const now=performance.now(); if(now-lastSend<40)return; lastSend=now;
+ const p=world(px,py); if(!p)return;
+ fetch(`/field?x=${p[0].toFixed(4)}&y=${p[1].toFixed(4)}`+
+       `&z=${(p[2]||0).toFixed(4)}&s=${fieldDrag===2?-20:20}`);
 }
 draw();
 let drag=null;
-cv.onmousedown=e=>{drag=[e.clientX,e.clientY,e.shiftKey];};
-addEventListener('mouseup',()=>drag=null);
-addEventListener('mousemove',e=>{if(!drag)return;
+cv.onmousedown=e=>{
+ if(e.ctrlKey){fieldDrag=e.shiftKey?2:1;lastSend=0;
+  sendField(e.clientX,e.clientY);e.preventDefault();return;}
+ drag=[e.clientX,e.clientY,e.shiftKey];};
+addEventListener('mouseup',()=>{drag=null;
+ if(fieldDrag){fieldDrag=0;fetch('/field?off=1');}});
+addEventListener('mousemove',e=>{
+ if(fieldDrag){sendField(e.clientX,e.clientY);return;}
+ if(!drag)return;
  const dx=e.clientX-drag[0],dy=e.clientY-drag[1];
  if(drag[2]){panX+=dx;panY+=dy;}else{yaw+=dx*0.008;
   pitch=Math.max(-1.5,Math.min(1.5,pitch+dy*0.008));}
@@ -192,12 +237,47 @@ class ViewerServer:
                     with viewer.lock:
                         desc = keymap.apply_key(viewer.sim, k) or ""
                     self._send(desc.encode(), "text/plain")
+                elif url.path == "/field":
+                    # mouse-driven interaction field (BASELINE config 2 —
+                    # a NEW feature, the reference's field.rs is lighting
+                    # only): ctrl-drag in the browser points the
+                    # InteractionField at the fluid; params are jit args,
+                    # so this re-aims the force with zero recompiles
+                    q = parse_qs(url.query)
+                    with viewer.lock:
+                        desc = viewer.apply_field(q)
+                    self._send(desc.encode(), "text/plain")
                 else:
                     self.send_error(404)
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self.thread = threading.Thread(target=self.httpd.serve_forever,
                                        daemon=True)
+
+    def apply_field(self, q: dict) -> str:
+        """Point the InteractionField with the mouse (/field endpoint).
+
+        ``?x=&y=&z=&s=`` positions the field (s>0 repels, s<0 attracts);
+        ``?off=1`` disables it. Radius comes from ``?r=``, else the scene's
+        own active-field radius, else a view-scaled default. Params are jit
+        args, so this re-aims the force with zero recompiles."""
+        sim = self.sim
+        if "off" in q:
+            sim.tune(field={"strength": 0.0})
+            return "field off"
+        dim = int(sim.state.pos.shape[1])
+        pos = [float(q.get(k, ["0"])[0]) for k in ("x", "y", "z")][:dim]
+        s = float(q.get("s", ["20"])[0])
+        if "r" in q:
+            r = float(q["r"][0])
+        elif float(np.asarray(sim.params.field.strength)) != 0.0:
+            r = float(np.asarray(sim.params.field.radius))
+        else:
+            h = float(np.asarray(sim.params.smoothing_radius))
+            half = np.asarray(sim.params.container.half_size)
+            r = max(3.0 * h, 0.12 * float(np.max(half)))
+        sim.tune(field={"position": pos, "strength": s, "radius": r})
+        return f"field s={s:+.1f} r={r:.2f} @ ({', '.join(f'{v:.2f}' for v in pos)})"
 
     def _snapshot(self):
         sim = self.sim
@@ -221,6 +301,12 @@ class ViewerServer:
             "hud": hud,
             "dim": int(sim.state.pos.shape[1]),
         }
+        fs = float(np.asarray(sim.params.field.strength))
+        if fs != 0.0:
+            payload["field"] = {
+                "p": [float(v) for v in np.asarray(sim.params.field.position)],
+                "s": fs, "r": float(np.asarray(sim.params.field.radius)),
+            }
         if self.render == "raster":
             from . import raster
             import jax.numpy as jnp
