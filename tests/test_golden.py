@@ -40,15 +40,18 @@ GOLDEN = {
     # -- fast pins (default suite) ------------------------------------------
     ("dam-break-2d-4k", "bucket_grid", 40): dict(
         com=[-5.38959, -2.26117], ke=67018.78, mean_rho=200.864,
-        bbox_lo=[-7.95, -4.45], bbox_hi=[-1.99916, 1.46529]),
+        bbox_lo=[-7.95, -4.45], bbox_hi=[-1.99916, 1.46529],
+        vq=[3.29699, 6.45457, 6.73436], rq=[114.2681, 131.9989, 428.8856]),
     ("mini-3d", "dense", 60): dict(
         com=[0.0, -3.79511, 0.0], ke=10585.86,
         bbox_lo=[-2.28083, -4.4, -2.28083],
-        bbox_hi=[2.28083, -3.10759, 2.28083], mean_rho=156.2288),
+        bbox_hi=[2.28083, -3.10759, 2.28083], mean_rho=156.2288,
+        vq=[1.7921, 5.23485, 8.81628], rq=[152.7888, 152.7888, 168.9122]),
     ("mini-3d", "bucket_grid", 60): dict(
         com=[0.0, -3.79511, 0.0], ke=10585.88,
         bbox_lo=[-2.28083, -4.4, -2.28083],
         bbox_hi=[2.28083, -3.10759, 2.28083], mean_rho=156.2288,
+        vq=[1.79191, 5.23489, 8.81626], rq=[152.7888, 152.7888, 168.9144],
         kw=dict(grid_dims=(20, 16, 16), chunk=256)),
     # fused Pallas kernels (interpret mode off-TPU) — tracks the bucket_grid
     # 60-step golden to 1e-4, pinned independently
@@ -56,42 +59,66 @@ GOLDEN = {
         com=[0.0, -3.79511, 0.0], ke=10585.89,
         bbox_lo=[-2.28083, -4.4, -2.28083],
         bbox_hi=[2.28083, -3.10759, 2.28083], mean_rho=156.2288,
+        vq=[1.79178, 5.23468, 8.81625], rq=[152.7888, 152.7888, 168.9195],
         kw=dict(grid_dims=(20, 16, 16))),
-    # -- 1000-step pins (BASELINE.md bar; WST_SLOW=1) -----------------------
+    # -- long pins (BASELINE.md bar; WST_SLOW=1) ----------------------------
+    # BASELINE config 2 with its interaction field ACTIVE (VERDICT r3
+    # item 9): 16k 2-D, viscosity on, static repulsive field at the origin
+    ("interactive-2d-16k", "bucket_grid", 200): dict(
+        com=[2e-05, -3.92324], ke=108318.05,
+        bbox_lo=[-11.95, -5.95], bbox_hi=[11.95, -0.28695],
+        mean_rho=157.3969,
+        vq=[0.81671, 3.36906, 5.15743], rq=[111.945, 145.5129, 224.0327],
+        marks=slow),
     ("mini-3d", "dense", 1000): dict(
         com=[0.04154, -4.39612, -0.03965], ke=45.85,
         bbox_lo=[-7.89691, -4.4, -4.39954],
         bbox_hi=[7.89818, -3.87854, 4.39991], mean_rho=152.8026,
+        vq=[0.10718, 0.23346, 0.56609], rq=[152.7888, 152.7888, 152.7888],
         marks=slow),
     ("dam-break-2d-4k", "dense", 1000): dict(
         com=[-0.14036, -3.93962], ke=9659.11,
         bbox_lo=[-7.95, -4.45], bbox_hi=[7.95, -2.85276],
-        mean_rho=214.1837, marks=slow),
+        mean_rho=214.1837,
+        vq=[0.70559, 1.81522, 3.3783], rq=[140.9755, 212.3918, 285.7992],
+        marks=slow),
     ("dam-break-2d-4k", "bucket_grid", 1000): dict(
         com=[-0.07213, -3.8838], ke=8483.95,
         bbox_lo=[-7.95, -4.45], bbox_hi=[7.95, -2.74188],
-        mean_rho=195.7284, marks=slow),
+        mean_rho=195.7284,
+        vq=[0.6484, 1.69228, 3.17495], rq=[133.4146, 192.937, 261.242],
+        marks=slow),
     ("dam-break-2d-4k", "pallas", 200): dict(
         com=[-2.39331, -2.95631], ke=59577.24,
         bbox_lo=[-7.95, -4.45], bbox_hi=[7.95, -0.02465],
-        mean_rho=131.8233, marks=slow),
+        mean_rho=131.8233,
+        vq=[1.63956, 4.23201, 8.88757], rq=[82.7955, 128.5718, 186.2792],
+        marks=slow),
     # the reference's own scene over the full BASELINE 1k-step horizon, on
     # the compiled TPU kernels (artifact:
     # benchmarks/reference_cube_1k_tpu.json; generated on v5e)
     ("reference-cube", "pallas", 1000): dict(
         com=[0.00245, -3.76489, 0.00057], ke=1276.51,
         bbox_lo=[-7.9, -4.4, -4.4], bbox_hi=[7.9, -2.23074, 4.4],
-        mean_rho=332.9723, marks=tpu_only),
+        mean_rho=332.9723,
+        vq=[0.01156, 0.03055, 0.37969], rq=[161.8073, 315.4169, 536.8668],
+        marks=tpu_only),
     # the FLAGSHIP scene over the full 1k-step horizon on the compiled TPU
     # kernels: translating+yawing container, every particle exact on every
     # step (overflow_total == 0; artifact:
     # benchmarks/moving_container_1k_tpu.json) — pins the perf-critical
-    # config so kernel work cannot silently change flagship physics
+    # config so kernel work cannot silently change flagship physics.
+    # Regenerated at the r4 1024-lane tile default: chunk partitioning sets
+    # qsym's pair→accumulator assignment, so the summation ORDER changed
+    # (physics-equivalent; 1k chaotic steps realize a slightly different
+    # settled state).
     ("moving-container-256k", "pallas", 1000): dict(
-        com=[2.70323, -2.93721, -0.03171], ke=224759.8,
+        com=[2.69957, -2.93796, -0.02998], ke=223736.09,
         bbox_lo=[-18.26894, -4.9, -10.10571],
-        bbox_hi=[23.26892, -0.24165, 10.10571],
-        mean_rho=178.8499, marks=tpu_only),
+        bbox_hi=[23.26892, -0.29427, 10.10571],
+        mean_rho=178.8285,
+        vq=[0.52583, 1.0986, 1.93564], rq=[153.826, 174.5518, 210.5196],
+        marks=tpu_only),
 }
 
 

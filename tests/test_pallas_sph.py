@@ -54,10 +54,10 @@ def test_pallas_geometry_alignment():
 
 def test_pallas_rejects_oversized_z():
     # gz must fit inside the window lane margin; the margin follows the
-    # auto-picked tile width (256 lanes for wide scenes), so only z-dims
-    # past that are rejected — gz=300 > 255 even at the widest tile
+    # auto-picked tile width (512 lanes for wide scenes), so only z-dims
+    # past that are rejected — gz=600 > 511 even at the widest tile
     cfg = SimConfig(n=64, dim=3, neighbor_mode="pallas",
-                    grid_dims=(16, 12, 300), cell_capacity=8)
+                    grid_dims=(16, 12, 600), cell_capacity=8)
     with pytest.raises(ValueError, match="z-dim"):
         sph_bucket._geometry(cfg)
 
@@ -73,6 +73,9 @@ _slow_gate = pytest.mark.skipif(
     # domain-decomposed force gate, ("qrow", 8) the un-trimmed qrow body
     # the trimmed variants derive from
     ("slab", 8), ("qrow", 8), ("qrow3", 8), ("qsym", 8),
+    # round-4 densification candidates (micro31): wide shared-oz loads —
+    # bit-identical accumulation order to their narrow parents
+    ("qsymw", 8), ("slabw", 8), ("slabw", 2),
     # measured-and-rejected sweep variants (micro6): physics-identical by
     # construction, pinned only under WST_SLOW to keep the default suite
     # fast (each costs 2-4 min in interpret mode)

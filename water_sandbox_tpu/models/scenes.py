@@ -147,15 +147,23 @@ def _dam_break_2d_4k():
           "BASELINE config 2: 2-D, ~16k particles, viscosity + interaction "
           "force field (NEW feature, no reference counterpart)")
 def _interactive_2d_16k():
+    # Stiff-EOS recipe (see moving-container-256k scene-design notes): the
+    # settled pool here is ~6.7 m deep, and at the soft reference EOS
+    # (k = 22, scale height ~2.2 m) the floor compresses ~12x — no fixed
+    # cell capacity holds that (measured overflow_total > 1M over 200
+    # steps at cap 16). k = 100 bounds compression to ~2x (cap 32 holds the
+    # floor + wall layers); CFL then needs dt = 1/120.
     size = (24.0, 12.0)
     r = 0.05
     pts = cube_fluid(200, 80, None, particle_radius=r,
                      center=(0.0, -6.0 + 80 * r + 0.1))  # 16,000
     cfg = SimConfig(n=pts.shape[0], dim=2, grid_dims=_grid_dims_for(size),
-                    cell_capacity=16, rescue_capacity=1024)
+                    cell_capacity=32, rescue_capacity=2048)
     params = SimParams.create(
         dim=2, container=Container.create((0.0, 0.0), size),
         particle_radius=r,
+        pressure_scalar=100.0,
+        dt=1.0 / 120.0,
         target_density=lattice_rest_density(2 * r, DEFAULT_SMOOTHING_RADIUS, 2),
         field=InteractionField.create((0.0, 0.0), strength=15.0, radius=2.0))
     return cfg, params, init_state(pts)

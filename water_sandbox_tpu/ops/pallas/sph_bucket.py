@@ -55,10 +55,11 @@ _FAR = 1.0e15
 # Lane-tile geometry. These module globals are SET BY `_geometry(cfg)` at
 # trace time (every traced entry point calls it before building kernels),
 # so they are always consistent with the cfg being traced. Wide scenes use
-# 512-lane tiles: measured on the settled flagship, the force pass drops
-# 70.9 -> 56.3 ms with exact parity (benchmarks/micro9b_results.json) —
-# the ~12-cycle effective cost per vector op amortizes over 4 vregs.
-# Narrow scenes keep 256 to bound slab padding and occupancy-gate width.
+# 1024-lane tiles (see _pick_tile): wider tiles cost more pair-slot padding
+# (chunk-max occupancy gates more lanes) but fewer grid programs and fewer
+# per-tile dynamic-lane loads — measured net win at each widening step
+# (512: micro9b; 1024 at the cap-16 grid: micro30). Narrow scenes keep 256
+# to bound slab padding and occupancy-gate width.
 _T = 256    # lane-chunk width (one grid program per (slab, chunk))
 _M = 128    # window lane margin; covers the oy/oz reach (needs gz < _M)
 _CLW = _T + 2 * _M   # per-slab window width in the VMEM scratch
@@ -74,7 +75,11 @@ _DMA_PREFETCH = True
 def _pick_tile(S: int) -> int:
     if _TILE_OVERRIDE is not None:
         return _TILE_OVERRIDE
-    return 512 if S >= 2048 else 256
+    # wide scenes: 1024 re-measured fastest at the cap-16 grid (the old
+    # t1024-loses result was a cap-48 artifact): settled flagship 42.96 ms
+    # vs 44.63 @512 / 47.38 @256 — fewer grid programs beat the extra
+    # pair-slot padding (benchmarks/micro30_waste_results.json)
+    return 1024 if S >= 2048 else 256
 
 # scalar-parameter slots (SMEM (1, 16) f32)
 _P_H = 0
@@ -103,6 +108,23 @@ def _offsets_yz(dim: int, gz: int):
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def _oy_groups(dys, gz):
+    """Group flat-lane shifts dy = oy*gz + oz (oz in {-1, 0, 1}) by oy,
+    preserving the input order within and across groups — the wide-load
+    kernel variants slice the 3 oz shifts from one (…, _T + 2) load per oy
+    and must process pairs in exactly the narrow path's order so the
+    accumulation stays bit-identical. Needs gz >= 3 (oy recovery)."""
+    groups = []
+    for dy in dys:
+        oy = (dy + gz // 2) // gz
+        oz = dy - oy * gz
+        if groups and groups[-1][0] == oy:
+            groups[-1][1].append(oz)
+        else:
+            groups.append((oy, [oz]))
+    return groups
 
 
 def _cap_pad(cap: int) -> int:
@@ -547,6 +569,56 @@ def _density_kernel(own_ref, m0_ref, params_ref, feats_ref, out_ref,
             jax.lax.fori_loop(0, occ_own, q_body, 0)
             return
 
+        if gate[0] == "slabw" and dim == 3 and gz >= 3:
+            # "slab" with ONE wide (_T + 2) load per (row, oy) and the 3 oz
+            # shifts sliced from registers (the qrow3 trick): 3x fewer
+            # candidate loads, same dys in the same order -> bit-identical
+            # to ("slab", block).
+            block = gate[1]
+
+            def q_body(qb, _):
+                q0 = pl.multiple_of(qb * 8, 8)
+                qpos = [scratch[a, pl.ds(q0, 8), pl.ds(qs, _T)]
+                        for a in range(dim)]
+                acc_scr[0] = jnp.zeros((8, _T), jnp.float32)
+                acc_scr[1] = jnp.zeros((8, _T), jnp.float32)
+
+                for c in range(3):
+                    base = c * _CLW + _M
+                    for b0 in range(0, cap, block):
+                        @pl.when(occs[c] > b0)
+                        def _blk(c=c, b0=b0, base=base):
+                            den = acc_scr[0]
+                            nden = acc_scr[1]
+                            for rr in range(block):
+                                s = b0 + rr
+                                for oy in (-1, 0, 1):
+                                    w = [scratch[a, s,
+                                                 pl.ds(base + oy * gz - 1,
+                                                       _T + 2)]
+                                         for a in range(dim)]
+                                    for sl in (0, 1, 2):
+                                        dist2 = jnp.zeros((8, _T),
+                                                          jnp.float32)
+                                        for a in range(dim):
+                                            d_a = (w[a][sl:sl + _T][None, :]
+                                                   - qpos[a])
+                                            dist2 = dist2 + d_a * d_a
+                                        v = jnp.maximum(
+                                            h - jnp.sqrt(dist2), 0.0)
+                                        v2 = v * v
+                                        den = den + v2 * pow2
+                                        nden = nden + v2 * v * pow3
+                            acc_scr[0] = den
+                            acc_scr[1] = nden
+
+                write_out(pl.ds(q0, 8), acc_scr[0] + DENSITY_PADDING,
+                          acc_scr[1] + DENSITY_PADDING)
+                return 0
+
+            jax.lax.fori_loop(0, (occ_own + 7) // 8, q_body, 0)
+            return
+
         def q_body(qb, _):
             q0 = pl.multiple_of(qb * 8, 8)
             qpos = [scratch[a, pl.ds(q0, 8), pl.ds(qs, _T)]
@@ -577,9 +649,11 @@ def _density_kernel(own_ref, m0_ref, params_ref, feats_ref, out_ref,
                 acc_scr[0] = den
                 acc_scr[1] = nden
 
+            struct = gate[0][:-1] if fold else gate[0]
+            if struct == "slabw":   # 2-D / tiny-gz fallback: plain slab
+                struct = "slab"
             _gated_slot_loops(occs, do_rows, dim=dim, cap=cap, gz=gz,
-                              struct=gate[0][:-1] if fold else gate[0],
-                              block=gate[1])
+                              struct=struct, block=gate[1])
 
             write_out(pl.ds(q0, 8), acc_scr[0] + DENSITY_PADDING,
                       acc_scr[1] + DENSITY_PADDING)
@@ -936,7 +1010,7 @@ def _force_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref, out_ref,
 def _force_sym_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref,
                       out_ref, scr2, dscr2, acc_scr, sameb, nextb,
                       sems, *, dim, cap, gz, S_pad, NYC, gx, sym=True,
-                      sym_same=True, sym_next=True):
+                      sym_same=True, sym_next=True, wide=False):
     """Newton's-third-law force pass ("qsym"): every unordered pair is
     evaluated ONCE and its force applied to BOTH particles.
 
@@ -1093,15 +1167,36 @@ def _force_sym_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref,
                         slot_ids = b0 + jax.lax.broadcasted_iota(
                             jnp.int32, (8, 1), 0)
                         force = [acc_scr[a] for a in range(dim)]
-                        for dy in dys:
-                            w0 = pl.ds(base + dy, _T)
-                            pair_tile(
-                                [scratch[a, bsl, w0]
-                                 for a in range(2 * dim)],
-                                [dscratch[k, bsl, w0]
-                                 for k in (2, 3, 4, 5)],
-                                1 if (c == 1 and dy == 0) else 0,
-                                force, slot_ids, cbuf, b0, dy)
+                        if wide and dim == 3:
+                            # ONE (8, _T+2) load per (block, oy) plane,
+                            # the 3 oz variants sliced from registers —
+                            # the qrow3 trick (micro9) applied to qsym.
+                            # Same dys in the same order as the narrow
+                            # path, so the accumulation is BIT-IDENTICAL.
+                            for oy, ozs in _oy_groups(dys, gz):
+                                w0 = pl.ds(base + oy * gz - 1, _T + 2)
+                                w = [scratch[a, bsl, w0]
+                                     for a in range(2 * dim)]
+                                dw = [dscratch[k, bsl, w0]
+                                      for k in (2, 3, 4, 5)]
+                                for oz in ozs:
+                                    dy = oy * gz + oz
+                                    sl = oz + 1
+                                    pair_tile(
+                                        [t[:, sl:sl + _T] for t in w],
+                                        [t[:, sl:sl + _T] for t in dw],
+                                        1 if (c == 1 and dy == 0) else 0,
+                                        force, slot_ids, cbuf, b0, dy)
+                        else:
+                            for dy in dys:
+                                w0 = pl.ds(base + dy, _T)
+                                pair_tile(
+                                    [scratch[a, bsl, w0]
+                                     for a in range(2 * dim)],
+                                    [dscratch[k, bsl, w0]
+                                     for k in (2, 3, 4, 5)],
+                                    1 if (c == 1 and dy == 0) else 0,
+                                    force, slot_ids, cbuf, b0, dy)
                         for a in range(dim):
                             acc_scr[a] = force[a]
 
@@ -1256,7 +1351,7 @@ def _run_force(planes, dens, own, m0, params_vec, cfg, interpret, gate=None):
     dim, cap = cfg.dim, _cap_pad(cfg.cell_capacity)
     NB = cap // 8
     gate = gate or _FORCE_GATE
-    sym = gate[0] in ("qsym", "qsym0", "qsym1", "qsym2")
+    sym = gate[0] in ("qsym", "qsymw", "qsym0", "qsym1", "qsym2")
     if sym:
         if gz + 1 > 128:
             raise ValueError(
@@ -1265,8 +1360,11 @@ def _run_force(planes, dens, own, m0, params_vec, cfg, interpret, gate=None):
         body = functools.partial(_force_sym_kernel, dim=dim, cap=cap,
                                  gz=gz, S_pad=S_pad, NYC=NYC, gx=gx,
                                  sym=gate[0] != "qsym0",
-                                 sym_same=gate[0] in ("qsym", "qsym1"),
-                                 sym_next=gate[0] in ("qsym", "qsym2"))
+                                 sym_same=gate[0] in ("qsym", "qsymw",
+                                                      "qsym1"),
+                                 sym_next=gate[0] in ("qsym", "qsymw",
+                                                      "qsym2"),
+                                 wide=gate[0] == "qsymw" and gz >= 3)
         extra_scratch = [
             pltpu.VMEM((dim, NYC, cap, _T + 256), jnp.float32),
             pltpu.VMEM((2, dim, NYC, cap, _T + 256), jnp.float32),
