@@ -34,7 +34,7 @@ def main():
     from water_sandbox_tpu.ops.step import rollout
 
     results = {}
-    for cap in (16, 24):
+    for cap in (8, 16):
         sim = wst.Simulation.from_scene("moving-container-256k",
                                         neighbor_mode="pallas",
                                         cell_capacity=cap)
@@ -50,7 +50,7 @@ def main():
         @functools.partial(jax.jit, donate_argnums=0)
         def chunk50(carry):
             def body(c, _):
-                s, peak = c
+                s, peak, dmax = c
                 s = step_mod.step(s, params, cfg)
                 origin = hashing.grid_origin(s.predicted,
                                              params.smoothing_radius)
@@ -61,20 +61,27 @@ def main():
                        + cell[:, 1]) * cfg.grid_dims[2] + cell[:, 2]
                 cnt = jnp.zeros((ncells,), jnp.int32).at[key].add(
                     1, mode="promise_in_bounds")
-                return (s, jnp.maximum(peak, cnt.max())), None
+                # per-step DROP count at this cap (particles the buckets
+                # hand to the exact rescue) — its max over the trajectory
+                # must stay under rescue_capacity for overflow_total == 0
+                drops = jnp.maximum(cnt - cap, 0).sum()
+                return (s, jnp.maximum(peak, cnt.max()),
+                        jnp.maximum(dmax, drops)), None
             return jax.lax.scan(body, carry, None, length=50)[0]
 
-        carry = (sim.state, jnp.zeros((), jnp.int32))
+        carry = (sim.state, jnp.zeros((), jnp.int32),
+                 jnp.zeros((), jnp.int32))
         done = 0
         t0 = time.perf_counter()
         while done < 1000:
             carry = chunk50(carry)
             done += 50
-        sim.state, peak = carry
+        sim.state, peak, dmax = carry
         np.asarray(sim.state.pos)
         wall = time.perf_counter() - t0
         overflow = float(np.asarray(sim.state.overflow_total))
         peak = int(np.asarray(peak))
+        dmax = int(np.asarray(dmax))
 
         # settled window, same compiled program
         walls = []
@@ -89,6 +96,8 @@ def main():
             "overflow_total_1k": overflow,
             "peak_cell_occupancy_1k": peak,
             "capacity_margin": cap - peak,
+            "max_step_drops": dmax,
+            "rescue_capacity": cfg.rescue_capacity,
             "settled_step_ms": round(step_ms, 2),
             "ps_per_s": round(sim.cfg.n / step_ms * 1e3, 0),
             "kinetic_energy": float(st["kinetic_energy"]),
@@ -97,8 +106,6 @@ def main():
             "wall_1k_s": round(wall, 1),
         }
         print(cap, json.dumps(results[f"cap{cap}"]), flush=True)
-        if overflow == 0.0:
-            break   # smallest clean capacity found; no need to go larger
 
     results["note"] = ("wall_1k_s includes the per-step occupancy counting "
                        "scatter-add; settled_step_ms does not (plain rollout)")
