@@ -470,6 +470,10 @@ def _gated_slot_loops(occs, do_rows, *, dim, cap, gz, struct, block):
 def _density_kernel(own_ref, m0_ref, params_ref, feats_ref, out_ref,
                     scr2, acc_scr, sems, *, dim, cap, gz, S_pad, NYC, gx,
                     gate):
+    if gate[0] == "grid0":
+        # floor probe: completely empty body — measures the grid machinery
+        # + whatever output movement the out_specs imply, nothing else
+        return
     i = pl.program_id(0)
     yc = pl.program_id(1)
     occ_own = own_ref[i, yc]
@@ -478,6 +482,9 @@ def _density_kernel(own_ref, m0_ref, params_ref, feats_ref, out_ref,
     par = _window_dma([feats_ref], [scr2], sems, own_ref, m0_ref,
                       cap=cap, S_pad=S_pad, NYC=NYC, gx=gx)
     scratch = scr2.at[par]
+    if gate[0] == "dma0":
+        # floor probe: grid + occupancy-gated window DMA, no compute/writes
+        return
 
     @pl.when(occ_own > 0)
     def _run():
@@ -1010,7 +1017,7 @@ def _force_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref, out_ref,
 def _force_sym_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref,
                       out_ref, scr2, dscr2, acc_scr, sameb, nextb,
                       sems, *, dim, cap, gz, S_pad, NYC, gx, sym=True,
-                      sym_same=True, sym_next=True, wide=False):
+                      sym_same=True, sym_next=True, wide=False, probe=None):
     """Newton's-third-law force pass ("qsym"): every unordered pair is
     evaluated ONCE and its force applied to BOTH particles.
 
@@ -1044,6 +1051,10 @@ def _force_sym_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref,
     they add nothing. Each block is zeroed immediately after its LAST
     reader (step yc+1), keeping the buffers clean across slab transitions
     with no extra passes."""
+    if probe == "grid0":
+        # floor probe: completely empty body — measures the grid machinery
+        # + whatever output movement the out_specs imply, nothing else
+        return
     i = pl.program_id(0)
     yc = pl.program_id(1)
     occ_own = own_ref[i, yc]
@@ -1065,6 +1076,9 @@ def _force_sym_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref,
                       gx=gx, slabs=slabs)
     scratch = scr2.at[par]
     dscratch = dscr2.at[par]
+    if probe == "dma0":
+        # floor probe: grid + occupancy-gated window DMA, no compute/writes
+        return
 
     # acc output tiles must be fully defined even for empty chunks (the
     # flush below may add neighbor-chunk contributions to any row)
@@ -1311,13 +1325,25 @@ def derived_density_planes(den, nden, params: SimParams):
                       1.0 / den, 1.0 / nden])
 
 
-def _run_density(planes, own, m0, params_vec, cfg, interpret, gate=None):
+def _run_density(planes, own, m0, params_vec, cfg, interpret, gate=None,
+                 out_planes=6, out_any=False):
+    """``out_planes``/``out_any`` are FLOOR-PROBE knobs (benchmarks only,
+    zero-bound runs): shrink the auto-pipelined output window, or park the
+    output in HBM with no per-step window movement at all — they bisect the
+    zero-work floor into grid machinery vs output-pipeline cost."""
     gx, gy, gz, S, S_pad, NYC, PAD, L = _geometry(cfg)
     dim, cap = cfg.dim, _cap_pad(cfg.cell_capacity)
     NB = cap // 8
     body = functools.partial(_density_kernel, dim=dim, cap=cap, gz=gz,
                              S_pad=S_pad, NYC=NYC, gx=gx,
                              gate=gate or _DENSITY_GATE)
+    if out_any:
+        out_spec = pl.BlockSpec(memory_space=pl.ANY)
+    else:
+        out_spec = pl.BlockSpec(
+            (out_planes, cap, _T),
+            lambda i, yc, *_: (0, 0, (NYC + 1) + i * NYC + yc),
+            memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(gx, NYC),
@@ -1326,10 +1352,7 @@ def _run_density(planes, own, m0, params_vec, cfg, interpret, gate=None):
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(
-            (6, cap, _T),
-            lambda i, yc, *_: (0, 0, (NYC + 1) + i * NYC + yc),
-            memory_space=pltpu.VMEM),
+        out_specs=out_spec,
         scratch_shapes=[
             pltpu.VMEM((2, dim, cap, 3 * _CLW), jnp.float32),
             pltpu.VMEM((2, 8, _T), jnp.float32),
@@ -1339,19 +1362,26 @@ def _run_density(planes, own, m0, params_vec, cfg, interpret, gate=None):
     return pl.pallas_call(
         body,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((6, cap, L), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((out_planes, cap, L), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 2**20),
         interpret=interpret,
     )(own, m0, params_vec, planes[:dim])
 
 
-def _run_force(planes, dens, own, m0, params_vec, cfg, interpret, gate=None):
+def _run_force(planes, dens, own, m0, params_vec, cfg, interpret, gate=None,
+               out_any=False):
+    """``out_any`` is a FLOOR-PROBE knob (benchmarks only): park the output
+    in HBM with no auto-pipelined window movement (pairs with the "+grid0"
+    / "+dma0" gate suffixes, which stub the kernel body)."""
     gx, gy, gz, S, S_pad, NYC, PAD, L = _geometry(cfg)
     dim, cap = cfg.dim, _cap_pad(cfg.cell_capacity)
     NB = cap // 8
     gate = gate or _FORCE_GATE
-    sym = gate[0] in ("qsym", "qsymw", "qsym0", "qsym1", "qsym2")
+    g0, probe = gate[0], None
+    if "+" in g0:   # e.g. ("qsym+grid0", 8): probe suffix on a base gate
+        g0, probe = g0.split("+", 1)
+    sym = g0 in ("qsym", "qsymw", "qsym0", "qsym1", "qsym2")
     if sym:
         if gz + 1 > 128:
             raise ValueError(
@@ -1359,12 +1389,11 @@ def _run_force(planes, dens, own, m0, params_vec, cfg, interpret, gate=None):
                 f"block margins are 128 lanes); got {gz}")
         body = functools.partial(_force_sym_kernel, dim=dim, cap=cap,
                                  gz=gz, S_pad=S_pad, NYC=NYC, gx=gx,
-                                 sym=gate[0] != "qsym0",
-                                 sym_same=gate[0] in ("qsym", "qsymw",
-                                                      "qsym1"),
-                                 sym_next=gate[0] in ("qsym", "qsymw",
-                                                      "qsym2"),
-                                 wide=gate[0] == "qsymw" and gz >= 3)
+                                 sym=g0 != "qsym0",
+                                 sym_same=g0 in ("qsym", "qsymw", "qsym1"),
+                                 sym_next=g0 in ("qsym", "qsymw", "qsym2"),
+                                 wide=g0 == "qsymw" and gz >= 3,
+                                 probe=probe)
         extra_scratch = [
             pltpu.VMEM((dim, NYC, cap, _T + 256), jnp.float32),
             pltpu.VMEM((2, dim, NYC, cap, _T + 256), jnp.float32),
@@ -1372,9 +1401,17 @@ def _run_force(planes, dens, own, m0, params_vec, cfg, interpret, gate=None):
         semantics = ("arbitrary", "arbitrary")
     else:
         body = functools.partial(_force_kernel, dim=dim, cap=cap, gz=gz,
-                                 S_pad=S_pad, NYC=NYC, gx=gx, gate=gate)
+                                 S_pad=S_pad, NYC=NYC, gx=gx,
+                                 gate=(g0, gate[1]))
         extra_scratch = []
         semantics = None
+    if out_any:
+        out_spec = pl.BlockSpec(memory_space=pl.ANY)
+    else:
+        out_spec = pl.BlockSpec(
+            (2 + dim, cap, _T),
+            lambda i, yc, *_: (0, 0, (NYC + 1) + i * NYC + yc),
+            memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(gx, NYC),
@@ -1384,10 +1421,7 @@ def _run_force(planes, dens, own, m0, params_vec, cfg, interpret, gate=None):
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(
-            (2 + dim, cap, _T),
-            lambda i, yc, *_: (0, 0, (NYC + 1) + i * NYC + yc),
-            memory_space=pltpu.VMEM),
+        out_specs=out_spec,
         scratch_shapes=[
             pltpu.VMEM((2, 2 * dim, cap, 3 * _CLW), jnp.float32),
             pltpu.VMEM((2, 6, cap, 3 * _CLW), jnp.float32),
