@@ -201,10 +201,12 @@ def _moving_container_256k():
     size = (40.0, 10.0, 14.0)
     pts = cube_fluid(198, 24, 56, center=(0.0, -2.0, 0.0))  # 266,112
     # Cell capacity 16: at the yawed-AABB grid below (no clamping
-    # pile-up) the measured occupancy over the FULL 1k-step trajectory —
-    # fresh lattice, transient slosh, settled drag — never exceeds 16
-    # (overflow_total == 0, benchmarks/micro29_capacity_results.json;
-    # settled own_max is 6, step_breakdown_results.json). Every
+    # pile-up) the measured PEAK per-cell occupancy over the FULL 1k-step
+    # trajectory — fresh lattice, transient slosh, settled drag — is 11,
+    # i.e. margin 5 below cap (overflow_total == 0 and an every-step
+    # scatter-add count, benchmarks/micro29_capacity_results.json; settled
+    # own_max is 6). cap 8 measured SLOWER (77 vs 53 ms): peak 11 > 8
+    # keeps the exact rescue sweep hot. Every
     # cap-proportional step cost (plane fills, counts reduction, kernel
     # output arrays + the gather relayout, qsym flush) shrinks 3x vs the
     # pre-grid-fix cap 48: settled step 67.6 -> 44.8 ms. The exact rescue

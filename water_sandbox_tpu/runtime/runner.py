@@ -65,6 +65,7 @@ class Simulation:
         # rollout() donates state buffers; keep an unaliased copy for reset()
         self._initial_state = jax.tree.map(jnp.copy, state)
         self.metrics = metrics_mod.MetricsRecorder()
+        self._sizes_seen: set[int] = set()
 
     # -- construction ------------------------------------------------------
 
@@ -80,14 +81,22 @@ class Simulation:
     _CHUNKS = (256, 64, 8, 1)
 
     def run(self, num_steps: int = 1, block: bool = True) -> "Simulation":
-        """Advance num_steps (fused device rollouts). Respects PAUSED."""
+        """Advance num_steps (fused device rollouts). Respects PAUSED.
+
+        Windows that trigger a rollout compile (first use of a chunk size —
+        minutes on the TPU tunnel) are recorded as warm-up, not throughput
+        (see MetricsRecorder)."""
         if self.phase is SimPhase.PAUSED:
             return self
         self.phase = SimPhase.RUNNING
+        cache_size = getattr(step_mod.rollout, "_cache_size", None)
+        before = cache_size() if cache_size else None
         t0 = _time.perf_counter()
         remaining = num_steps
+        sizes_used = set()
         for size in self._CHUNKS:
             while remaining >= size:
+                sizes_used.add(size)
                 self.state = step_mod.rollout(self.state, self.params,
                                               self.cfg, size)
                 remaining -= size
@@ -96,7 +105,13 @@ class Simulation:
             # tunnel; a scalar device_get forces the queue to drain.
             jax.device_get(self.state.step_count)
             dt_wall = _time.perf_counter() - t0
-            self.metrics.record_steps(num_steps, self.cfg.n, dt_wall)
+            if cache_size:
+                compiled = cache_size() > before
+            else:  # fallback: first use of a chunk size by this Simulation
+                compiled = not sizes_used <= self._sizes_seen
+            self._sizes_seen |= sizes_used
+            self.metrics.record_steps(num_steps, self.cfg.n, dt_wall,
+                                      compiled=compiled)
         return self
 
     def step(self) -> "Simulation":
