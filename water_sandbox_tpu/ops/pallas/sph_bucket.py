@@ -159,6 +159,43 @@ def _geometry(cfg: SimConfig):
     return gx, gy, gz, S, S_pad, NYC, PAD, L
 
 
+# Feature-plane scatter shape. "stack" (default, the round-3 shape):
+# 2·dim per-feature scatters (XLA fuses them variadically into one pass)
+# + [:-1] slice + jnp.stack. "windowed" scatters all features in ONE
+# windowed scatter with the sentinel dropped by mode="drop" — it looked
+# like ~3 ms of slice/DUS savings in the HLO (micro35), but MEASURED
+# (micro36): the windowed scatter misses the variadic fast path (build
+# chain 8.3 -> 30.4 ms standalone) and the full step is FLAT (50.3 vs
+# 50.7, same-session) — the stack/slice copies were already overlap-
+# hidden. Kept for A/B; outputs are bit-identical either way.
+_BUILD_SCATTER = "stack"
+
+
+def _scatter_planes(srows: Array, flat: Array, dim: int, cap_p: int,
+                    L: int, dtype) -> Array:
+    """Scatter the (n, 2·dim) sorted feature rows into the slab-padded
+    planes (2·dim, cap_p, L). Position rows fill with _FAR (the kernels'
+    distance filter subsumes slot validity), velocity rows with 0. The
+    capacity-overflow sentinel in ``flat`` is cap_p·L — one past the end —
+    and is dropped by the scatter mode, never written."""
+    nf = srows.shape[1]
+    if _BUILD_SCATTER == "windowed":
+        fills = jnp.asarray([_FAR] * dim + [0.0] * (nf - dim), dtype)
+        init = jnp.broadcast_to(fills[:, None], (nf, cap_p * L))
+        return init.at[:, flat].set(
+            srows.T, mode="drop",
+            unique_indices=True).reshape(nf, cap_p, L)
+
+    def scatter(vals, fill):
+        out = jnp.full((cap_p * L + 1,), fill, dtype)
+        return out.at[flat].set(
+            vals, mode="promise_in_bounds",
+            unique_indices=True)[:-1].reshape(cap_p, L)
+
+    return jnp.stack([scatter(srows[:, j], _FAR if j < dim else 0.0)
+                      for j in range(nf)])
+
+
 def _build_core(predicted: Array, vel: Array, params, cfg: SimConfig,
                 carry: Array | None = None, origin: Array | None = None):
     """Shared bucket-build core scattering DIRECTLY into the slab-padded
@@ -216,14 +253,7 @@ def _build_core(predicted: Array, vel: Array, params, cfg: SimConfig,
     rows = jnp.concatenate(feats, axis=1)              # (n, 2·dim [+ k])
     srows = jnp.take(rows, order, axis=0)              # ONE gather
 
-    def scatter(vals, fill):
-        out = jnp.full((cap_p * L + 1,), fill, dtype)
-        return out.at[flat].set(
-            vals, mode="promise_in_bounds",
-            unique_indices=True)[:-1].reshape(cap_p, L)
-
-    planes = jnp.stack([scatter(srows[:, j], _FAR if j < dim else 0.0)
-                        for j in range(2 * dim)])
+    planes = _scatter_planes(srows[:, :2 * dim], flat, dim, cap_p, L, dtype)
 
     # occupied-slot counts derived from the position plane (occupied slots
     # hold real positions, empty ones _FAR) — a cheap streaming reduction
@@ -295,14 +325,7 @@ def build_local_slab_buckets(pred: Array, vel: Array, active: Array,
     rows = jnp.concatenate([pred, vel], axis=1)
     srows = jnp.take(rows, order, axis=0)
 
-    def scatter(vals, fill):
-        out = jnp.full((cap_p * L + 1,), fill, dtype)
-        return out.at[flat].set(
-            vals, mode="promise_in_bounds",
-            unique_indices=True)[:-1].reshape(cap_p, L)
-
-    planes = jnp.stack([scatter(srows[:, j], _FAR if j < dim else 0.0)
-                        for j in range(2 * dim)])
+    planes = _scatter_planes(srows[:, :2 * dim], flat, dim, cap_p, L, dtype)
 
     # derived occupied-slot counts — see _build_slab_buckets. The domain
     # step re-derives these from the halo-EXCHANGED planes (free halo
