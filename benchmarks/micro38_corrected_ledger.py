@@ -69,20 +69,23 @@ def main():
     def chain_pv(pv, x):
         return pv + jnp.minimum(x.astype(jnp.float32), 0.0) * 1e-30
 
+    # The prebuilt planes must travel as jit ARGUMENTS, not closures: a
+    # closed-over 447 MB array is baked into the HLO as a literal and the
+    # remote-compile tunnel rejects the request body (HTTP 413).
     def alone(run_fns):
-        def body(pv, _):
+        def body(pv, **big):
             for fn in run_fns:
-                out = fn(pv)
+                out = fn(pv, **big)
                 pv = chain_pv(pv, out[0, 0, 0])
-            return pv, None
+            return pv
         return body
 
-    def d_real(pv):
-        return sb._run_density(planes_c, own_c, m0_c, pv, cfg, False)
+    def d_real(pv, planes=None, dens=None, own=None, m0=None):
+        return sb._run_density(planes, own, m0, pv, cfg, False)
 
-    def f_real(pv):
+    def f_real(pv, planes=None, dens=None, own=None, m0=None):
         dim = cfg.dim
-        return sb._run_force(planes_c[:2 * dim], dens_c, own_c, m0_c, pv,
+        return sb._run_force(planes[:2 * dim], dens, own, m0, pv,
                              cfg, False)
 
     def chain_state(s, *scalars):
@@ -137,17 +140,20 @@ def main():
 
     def scan_time_pv(body_fn, reps=3):
         @jax.jit
-        def run(pv):
-            return jax.lax.scan(body_fn, pv, None, length=STEPS)[0]
+        def run(pv, planes, dens, own, m0):
+            def body(c, _):
+                return body_fn(c, planes=planes, dens=dens, own=own,
+                               m0=m0), None
+            return jax.lax.scan(body, pv, None, length=STEPS)[0]
 
         t0 = time.perf_counter()
-        out = run(pv0)
+        out = run(pv0, planes_c, dens_c, own_c, m0_c)
         np.asarray(out)
         compile_s = time.perf_counter() - t0
         walls = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            out = run(pv0)
+            out = run(pv0, planes_c, dens_c, own_c, m0_c)
             np.asarray(out)
             walls.append((time.perf_counter() - t0) / STEPS * 1e3)
         return min(walls), compile_s

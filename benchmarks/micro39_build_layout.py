@@ -91,13 +91,19 @@ def main():
         return sb._scatter_planes(srows, flat, dim, cap_p, L,
                                   jnp.float32), srows
 
-    def planes_cm_row(s):
+    def planes_cm_row(s, sorted_claim=True):
         sorted_col, slot, ok, srows = sorted_rows(s)
         flat2 = jnp.where(ok, (PAD + sorted_col) * cap_p + slot,
                           L * cap_p)
         buf = jnp.broadcast_to(fills[None, :], (L * cap_p + 1, nf))
-        buf = buf.at[flat2].set(srows, mode="drop",
-                                indices_are_sorted=True,
+        # the overflow sentinel row L*cap_p is IN bounds here (the buffer
+        # carries one extra row that [:-1] drops), so promise_in_bounds is
+        # exact, not a promise. indices_are_sorted is only a valid claim
+        # when no cell overflows (the sentinel is larger than later cells'
+        # addresses) — measured both ways; production would need the
+        # unsorted variant unless overflow is statically impossible.
+        buf = buf.at[flat2].set(srows, mode="promise_in_bounds",
+                                indices_are_sorted=sorted_claim,
                                 unique_indices=True)
         return (buf[:-1].reshape(L, cap_p, nf).transpose(2, 1, 0),
                 srows)
@@ -152,6 +158,8 @@ def main():
     stages = [
         ("build_stack", consumer(planes_stack)),
         ("build_cm_row", consumer(planes_cm_row)),
+        ("build_cm_row_us",
+         consumer(lambda s: planes_cm_row(s, sorted_claim=False))),
         ("build_cm_col", consumer(planes_cm_col)),
     ]
     if len(sys.argv) > 1:

@@ -160,14 +160,16 @@ def _geometry(cfg: SimConfig):
 
 
 # Feature-plane scatter shape. "stack" (default, the round-3 shape):
-# 2·dim per-feature scatters (XLA fuses them variadically into one pass)
-# + [:-1] slice + jnp.stack. "windowed" scatters all features in ONE
-# windowed scatter with the sentinel dropped by mode="drop" — it looked
-# like ~3 ms of slice/DUS savings in the HLO (micro35), but MEASURED
-# (micro36): the windowed scatter misses the variadic fast path (build
-# chain 8.3 -> 30.4 ms standalone) and the full step is FLAT (50.3 vs
-# 50.7, same-session) — the stack/slice copies were already overlap-
-# hidden. Kept for A/B; outputs are bit-identical either way.
+# 2·dim per-feature scatters + [:-1] slice + jnp.stack. "windowed"
+# scatters all features in ONE feature-LEADING windowed scatter (each
+# update writes 2·dim values cap·L apart) — measured much slower
+# (micro36: full-chain 30.4 ms; note micro37 later showed micro36's 8.3 ms
+# "stack" anchor under-counted by DCE, but the full-step A/B was FLAT, so
+# stack stays). "cellmajor" scatters all features in ONE feature-MINOR
+# row scatter at cell-major addresses — consecutive sorted particles
+# write consecutive 2·dim-wide contiguous rows — then transposes
+# (L, cap, nf) -> (nf, cap, L) back to the kernel layout (micro39).
+# Outputs are bit-identical in every mode.
 _BUILD_SCATTER = "stack"
 
 
@@ -185,6 +187,23 @@ def _scatter_planes(srows: Array, flat: Array, dim: int, cap_p: int,
         return init.at[:, flat].set(
             srows.T, mode="drop",
             unique_indices=True).reshape(nf, cap_p, L)
+
+    if _BUILD_SCATTER == "cellmajor":
+        # cell-major address: consecutive sorted particles write
+        # consecutive rows (same cell -> adjacent slots, next cell -> next
+        # cap_p block), and features-minor makes each update one contiguous
+        # 4·nf-byte row. The overflow sentinel cap_p·L maps to the buffer's
+        # extra row L·cap_p (in bounds, dropped by [:-1]), so
+        # promise_in_bounds is exact. Sentinels break monotonicity, so no
+        # indices_are_sorted claim. One transpose returns to the kernels'
+        # (nf, cap_p, L) layout.
+        flat2 = jnp.where(flat == cap_p * L, L * cap_p,
+                          (flat % L) * cap_p + flat // L)
+        fills = jnp.asarray([_FAR] * dim + [0.0] * (nf - dim), dtype)
+        buf = jnp.broadcast_to(fills[None, :], (L * cap_p + 1, nf))
+        buf = buf.at[flat2].set(srows, mode="promise_in_bounds",
+                                unique_indices=True)
+        return buf[:-1].reshape(L, cap_p, nf).transpose(2, 1, 0)
 
     def scatter(vals, fill):
         out = jnp.full((cap_p * L + 1,), fill, dtype)
