@@ -190,20 +190,26 @@ def _scatter_planes(srows: Array, flat: Array, dim: int, cap_p: int,
 
     if _BUILD_SCATTER == "cellmajor":
         # cell-major address: consecutive sorted particles write
-        # consecutive rows (same cell -> adjacent slots, next cell -> next
-        # cap_p block), and features-minor makes each update one contiguous
-        # 4·nf-byte row. The overflow sentinel cap_p·L maps to the buffer's
-        # extra row L·cap_p (in bounds, dropped by [:-1]), so
-        # promise_in_bounds is exact. Sentinels break monotonicity, so no
-        # indices_are_sorted claim. One transpose returns to the kernels'
-        # (nf, cap_p, L) layout.
+        # consecutive elements (same cell -> adjacent slots, next cell ->
+        # next cap_p block) — 6 per-feature scatters at LOCAL addresses
+        # beat the production slot-major shape by ~1.2 ms in-scan
+        # (micro39: 15.53 vs 16.73; the one-scatter features-minor variant
+        # loses 2x — windowed scatters hit a slow path). The transpose back
+        # to the kernels' (cap_p, L) layout is included in that win. The
+        # overflow sentinel cap_p·L maps to the buffer's extra element
+        # (in bounds, dropped by [:-1]), so promise_in_bounds is exact.
+        # Sentinels break monotonicity, so no indices_are_sorted claim.
         flat2 = jnp.where(flat == cap_p * L, L * cap_p,
                           (flat % L) * cap_p + flat // L)
-        fills = jnp.asarray([_FAR] * dim + [0.0] * (nf - dim), dtype)
-        buf = jnp.broadcast_to(fills[None, :], (L * cap_p + 1, nf))
-        buf = buf.at[flat2].set(srows, mode="promise_in_bounds",
-                                unique_indices=True)
-        return buf[:-1].reshape(L, cap_p, nf).transpose(2, 1, 0)
+
+        def scatter_cm(vals, fill):
+            out = jnp.full((L * cap_p + 1,), fill, dtype)
+            return out.at[flat2].set(
+                vals, mode="promise_in_bounds",
+                unique_indices=True)[:-1].reshape(L, cap_p).T
+
+        return jnp.stack([scatter_cm(srows[:, j], _FAR if j < dim else 0.0)
+                          for j in range(nf)])
 
     def scatter(vals, fill):
         out = jnp.full((cap_p * L + 1,), fill, dtype)
