@@ -26,6 +26,15 @@ its registry config + reference-cube head-to-head. The JSON carries
 sorted_state, resolved neighbor_mode, kernel gates, tile width, dt, k) so
 any scene/kernel retune is visible in the artifact itself. Env overrides
 (WST_BENCH_*) exist for experiments only — the driver runs the defaults.
+
+r4 protocol fix (micro40): windows sync via a SCALAR-leaf device_get
+(state.time) — it waits for program completion exactly like the old
+np.asarray(pos) but ships 4 bytes instead of 3.2 MB over the remote
+tunnel, which was inflating every window by a measured 1.8 ms/step
+(43.14 -> 41.34 on the identical program, same session,
+benchmarks/micro40_carry_context_results.json). The r3 numbers carry that
+fetch tax; the fingerprint's `protocol` field records which sync a JSON
+was measured under.
 """
 
 import json
@@ -33,7 +42,7 @@ import os
 import sys
 import time
 
-PROTOCOL = "settle600+best3x50"
+PROTOCOL = "settle600+best3x50+ssync"
 
 
 def measure(scene, mode, chunk, settle):
@@ -44,7 +53,11 @@ def measure(scene, mode, chunk, settle):
     sim = Simulation.from_scene(scene, neighbor_mode=mode)
 
     def sync():
-        np.asarray(sim.state.pos)  # block_until_ready is unreliable here
+        # scalar-leaf device_get: waits for program completion (the leaf is
+        # an output buffer of the compiled rollout) without the 3.2 MB pos
+        # fetch the tunnel charges ~1.8 ms/step for (micro40);
+        # block_until_ready is unreliable here
+        np.asarray(sim.state.time)
 
     # first chunk: compile + transient window
     sim.state = rollout(sim.state, sim.params, sim.cfg, chunk)
