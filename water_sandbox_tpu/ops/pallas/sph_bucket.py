@@ -159,18 +159,19 @@ def _geometry(cfg: SimConfig):
     return gx, gy, gz, S, S_pad, NYC, PAD, L
 
 
-# Feature-plane scatter shape. "stack" (default, the round-3 shape):
-# 2·dim per-feature scatters + [:-1] slice + jnp.stack. "windowed"
-# scatters all features in ONE feature-LEADING windowed scatter (each
-# update writes 2·dim values cap·L apart) — measured much slower
-# (micro36: full-chain 30.4 ms; note micro37 later showed micro36's 8.3 ms
-# "stack" anchor under-counted by DCE, but the full-step A/B was FLAT, so
-# stack stays). "cellmajor" scatters all features in ONE feature-MINOR
-# row scatter at cell-major addresses — consecutive sorted particles
-# write consecutive 2·dim-wide contiguous rows — then transposes
-# (L, cap, nf) -> (nf, cap, L) back to the kernel layout (micro39).
-# Outputs are bit-identical in every mode.
-_BUILD_SCATTER = "stack"
+# Feature-plane scatter shape. "cellmajor" (default since r5): 2·dim
+# per-feature scatters at CELL-MAJOR addresses — consecutive sorted
+# particles write adjacent elements (same cell -> adjacent slots, next
+# cell -> next cap_p block) — then a transpose back to the kernels'
+# slot-major (cap_p, L) layout. Measured: isolated build 15.53 vs 16.73 ms
+# (micro39), full step 40.28 vs 41.34 ms ssync with bit-identical
+# trajectories (micro41_step_cellmajor_results.json). "stack" is the
+# round-3/4 slot-major shape. "windowed" scatters all features in ONE
+# feature-LEADING windowed scatter (each update writes 2·dim values cap·L
+# apart) — measured much slower (micro36: full-chain 30.4 ms; micro37
+# later showed micro36's 8.3 ms "stack" anchor under-counted by DCE, but
+# the full-step A/B was FLAT). Outputs are bit-identical in every mode.
+_BUILD_SCATTER = "cellmajor"
 
 
 def _scatter_planes(srows: Array, flat: Array, dim: int, cap_p: int,
@@ -179,7 +180,16 @@ def _scatter_planes(srows: Array, flat: Array, dim: int, cap_p: int,
     planes (2·dim, cap_p, L). Position rows fill with _FAR (the kernels'
     distance filter subsumes slot validity), velocity rows with 0. The
     capacity-overflow sentinel in ``flat`` is cap_p·L — one past the end —
-    and is dropped by the scatter mode, never written."""
+    and is dropped by the scatter mode, never written.
+
+    unique_indices caveat: real addresses are unique, but the overflow
+    sentinel can repeat across every overflowing particle, technically
+    violating the uniqueness promise. All duplicates target the same extra
+    element that [:-1]/mode="drop" discards, so any write order yields the
+    same kept planes — verified bit-identical across all three modes
+    including duplicate sentinels (micro41). The promise is kept for the
+    kernels' correctness claim ("exact" refers to in-bounds addressing,
+    not uniqueness under overflow)."""
     nf = srows.shape[1]
     if _BUILD_SCATTER == "windowed":
         fills = jnp.asarray([_FAR] * dim + [0.0] * (nf - dim), dtype)
