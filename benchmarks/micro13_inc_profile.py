@@ -43,7 +43,8 @@ def main():
     state, params, _ = checkpoint.load("benchmarks/data/settled_256k.npz")
     n = cfg.n
     dim = cfg.dim
-    gx, gy, gz, S, S_pad, NYC, PAD, L = sb._geometry(cfg)
+    g = sb._geometry(cfg)
+    gx, gy, gz, S, S_pad, NYC, PAD, L = g[:8]
     cap_p = sb._cap_pad(cfg.cell_capacity)
     PL = cap_p * L
     coeffs = KernelCoeffs.from_radius(params.smoothing_radius, dim)
@@ -128,7 +129,7 @@ def main():
 
     def bounds(planes_r):
         top, _ = inc._top_row(planes_r, cap_p)
-        return sb.occupancy_bounds(top, gx, S_pad, PAD, gz)
+        return sb.occupancy_bounds(top, g)
     own, m0 = piece("top_and_bounds", bounds, planes_r)
 
     dens = piece("density", lambda p, o, m: sb._run_density(

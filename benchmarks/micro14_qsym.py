@@ -46,8 +46,9 @@ def main():
 
     build = jax.jit(lambda p, v: sb._build_slab_buckets(p, v, params, cfg))
     planes, counts, addr, overflow = build(state.predicted, state.vel)
-    gx, gy, gz, S, S_pad, NYC, PAD, L = sb._geometry(cfg)
-    own, m0 = sb.occupancy_bounds(counts, gx, S_pad, PAD, gz)
+    g = sb._geometry(cfg)
+    gx, gy, gz, S, S_pad, NYC, PAD, L = g[:8]
+    own, m0 = sb.occupancy_bounds(counts, g)
     pv = sb._param_vector(params, coeffs)
     dens = jax.jit(lambda *a: sb._run_density(*a, cfg, False))(
         planes, own, m0, pv)

@@ -49,7 +49,8 @@ def main():
 
     cfg, params, state = sim.cfg, sim.params, sim.state
     coeffs = KernelCoeffs.from_radius(params.smoothing_radius, cfg.dim)
-    gx, gy, gz, S, S_pad, NYC, PAD, L = sb._geometry(cfg)
+    g = sb._geometry(cfg)
+    gx, gy, gz, S, S_pad, NYC, PAD, L = g[:8]
     dim = cfg.dim
     cap_p = sb._cap_pad(cfg.cell_capacity)
     pv = sb._param_vector(params, coeffs)
@@ -61,7 +62,7 @@ def main():
 
     def pre_occ(s):
         planes, counts, flat, order, srows, overflow = pre_build(s)
-        own, m0 = sb.occupancy_bounds(counts, gx, S_pad, PAD, gz)
+        own, m0 = sb.occupancy_bounds(counts, g)
         return planes, flat, srows, own, m0, overflow
 
     def pre_density(s):

@@ -56,7 +56,8 @@ def main():
     print("settled", flush=True)
 
     cfg, params, state = sim.cfg, sim.params, sim.state
-    gx, gy, gz, S, S_pad, NYC, PAD, L = sb._geometry(cfg)
+    g = sb._geometry(cfg)
+    gx, gy, gz, S, S_pad, NYC, PAD, L = g[:8]
     dims = cfg.grid_dims
     cap = cfg.cell_capacity
     cap_p = sb._cap_pad(cap)
@@ -144,7 +145,7 @@ def main():
         planes, flat, srows, ok = _scatter(s, 6)
         counts = jnp.sum(jnp.where(planes[0] < _FAR * 0.5, 1.0, 0.0),
                          axis=0, dtype=jnp.float32)[None, :]
-        own, m0 = sb.occupancy_bounds(counts, gx, S_pad, PAD, gz)
+        own, m0 = sb.occupancy_bounds(counts, g)
         return planes, flat, srows, own, m0
 
     def b_occ(s):

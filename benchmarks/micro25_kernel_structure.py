@@ -157,7 +157,7 @@ def main():
 
     cfg, prm, state = scenes.build("moving-container-256k",
                                    neighbor_mode="pallas")
-    gx, gy, gz, S, S_pad, NYC2, PAD, L2 = sb._geometry(cfg)
+    gx, gy, gz, S, S_pad, NYC2, PAD, L2 = sb._geometry(cfg)[:8]
     from water_sandbox_tpu.core.params import KernelCoeffs
     coeffs = KernelCoeffs.from_radius(prm.smoothing_radius, cfg.dim)
     pv = sb._param_vector(prm, coeffs)

@@ -47,8 +47,9 @@ def main():
 
     build = jax.jit(lambda p, v: sb._build_slab_buckets(p, v, params, cfg))
     planes, counts, addr, overflow = build(state.predicted, state.vel)
-    gx, gy, gz, S, S_pad, NYC, PAD, L = sb._geometry(cfg)
-    own, m0 = sb.occupancy_bounds(counts, gx, S_pad, PAD, gz)
+    g = sb._geometry(cfg)
+    gx, gy, gz, S, S_pad, NYC, PAD, L = g[:8]
+    own, m0 = sb.occupancy_bounds(counts, g)
     pv = sb._param_vector(params, coeffs)
     dropped = addr == sb._cap_pad(cfg.cell_capacity) * L
     print(f"n={cfg.n} dims={cfg.grid_dims} overflow={int(overflow)}",
@@ -60,36 +61,32 @@ def main():
         results[name] = round(val, 2)
         print(f"{name:28s} {val:8.2f} ms", flush=True)
 
-    # A/B toggles module knobs; restore the production defaults even on an
-    # exception mid-A/B (ADVICE r3: a bare restore on the success path would
-    # leave the process mis-knobbed for any code added after an error)
-    try:
-        # density: prefetch off vs on
-        denses = {}
-        for pf in (False, True):
-            sb._DMA_PREFETCH = pf
-            key = "pf" if pf else "base"
-            run = jax.jit(lambda pl_, o_, m_, p_, pf=pf: sb._run_density(
-                pl_, o_, m_, p_, cfg, False))
-            rec(f"density_{key}", timeit(run, planes, own, m0, pv))
-            denses[key] = run(planes, own, m0, pv)
-        dens = denses["pf"]
+    # A/B via per-variant static cfg fields (the knobs moved off module
+    # globals in round 5 — no restore needed, nothing is mutated)
+    import dataclasses
 
-        # force: round-3 baseline (no prefetch, ungated flush) vs new
-        accs = {}
-        for pf, fg, key in ((False, False, "base"),
-                            (True, True, "pf_gated")):
-            sb._DMA_PREFETCH = pf
-            sb._FLUSH_GATED = fg
-            run = jax.jit(lambda pl_, d_, o_, m_, p_, k=key: sb._run_force(
-                pl_, d_, o_, m_, p_, cfg, False))
-            rec(f"force_{key}", timeit(run, planes, dens, own, m0, pv))
-            out_c = run(planes, dens, own, m0, pv)
-            _, _, acc = sb.gather_results(out_c, addr, dropped, params)
-            accs[key] = np.asarray(acc)
-    finally:
-        sb._DMA_PREFETCH = True
-        sb._FLUSH_GATED = True
+    # density: prefetch off vs on
+    denses = {}
+    for pf in (False, True):
+        cfg_ab = dataclasses.replace(cfg, dma_prefetch=pf)
+        key = "pf" if pf else "base"
+        run = jax.jit(lambda pl_, o_, m_, p_, c=cfg_ab: sb._run_density(
+            pl_, o_, m_, p_, c, False))
+        rec(f"density_{key}", timeit(run, planes, own, m0, pv))
+        denses[key] = run(planes, own, m0, pv)
+    dens = denses["pf"]
+
+    # force: round-3 baseline (no prefetch, ungated flush) vs new
+    accs = {}
+    for pf, fg, key in ((False, False, "base"),
+                        (True, True, "pf_gated")):
+        cfg_ab = dataclasses.replace(cfg, dma_prefetch=pf, flush_gated=fg)
+        run = jax.jit(lambda pl_, d_, o_, m_, p_, c=cfg_ab: sb._run_force(
+            pl_, d_, o_, m_, p_, c, False))
+        rec(f"force_{key}", timeit(run, planes, dens, own, m0, pv))
+        out_c = run(planes, dens, own, m0, pv)
+        _, _, acc = sb.gather_results(out_c, addr, dropped, params)
+        accs[key] = np.asarray(acc)
 
     # gathered (real-particle) rows only: rows above a column's occupancy
     # hold unwritten VMEM garbage in BOTH variants and may differ freely

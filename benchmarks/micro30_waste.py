@@ -121,11 +121,12 @@ def main():
     NDY1 = 1 + (3 ** (dim - 1) - 1) // 2   # own-slab dys in qsym
     NDY2 = 3 ** (dim - 1)                  # next-slab dys
 
-    def census():
-        """Exact gated-tile counts at the current sb geometry (numpy
+    def census(cfg):
+        """Exact gated-tile counts at cfg's sb geometry (numpy
         re-implementation of occupancy_bounds over the lane row)."""
-        gx, gy, gz, S, S_pad, NYC, PAD, L = sb._geometry(cfg)
-        T = sb._T
+        g = sb._geometry(cfg)
+        gx, gy, gz, S, S_pad, NYC, PAD, L = g[:8]
+        T = g.T
         row = np.zeros(L, np.int64)
         lane = PAD + cell[:, 0] * S_pad + cell[:, 1] * gz + cell[:, 2]
         np.add.at(row, lane, 1)
@@ -158,7 +159,7 @@ def main():
             "density_pair_slots": dens_rowops * 8 * T,
         }
 
-    def timed_step():
+    def timed_step(cfg):
         @jax.jit
         def run(s):
             return jax.lax.scan(lambda c, _: (step_fn(c, params, cfg), None),
@@ -174,17 +175,15 @@ def main():
             walls.append((time.perf_counter() - t0) / STEPS * 1e3)
         return min(walls)
 
+    import dataclasses
     widths = [int(w) for w in sys.argv[1:]] or [512, 256, 1024, 2048]
-    try:
-        for width in widths:
-            sb._TILE_OVERRIDE = width
-            row = census()
-            row["step_ms"] = round(timed_step(), 2)
-            row["ps_per_s"] = round(n / row["step_ms"] * 1e3, 0)
-            results[f"tile{width}"] = row
-            print(f"tile{width}: {json.dumps(row)}", flush=True)
-    finally:
-        sb._TILE_OVERRIDE = None
+    for width in widths:
+        cfg_w = dataclasses.replace(cfg, tile_override=width)
+        row = census(cfg_w)
+        row["step_ms"] = round(timed_step(cfg_w), 2)
+        row["ps_per_s"] = round(n / row["step_ms"] * 1e3, 0)
+        results[f"tile{width}"] = row
+        print(f"tile{width}: {json.dumps(row)}", flush=True)
 
     # exact multiplicative decomposition at the default width
     if "tile512" in results:

@@ -90,17 +90,16 @@ def main():
         sim = settle(scene)
         row = results.get(scene, {})
         base = None
+        import dataclasses
         for t in tiles:
-            sb._TILE_OVERRIDE = t
+            cfg_t = dataclasses.replace(sim.cfg, tile_override=t)
             try:
                 ms, compile_s, ovf, out = scan_time(sim.state, sim.params,
-                                                    sim.cfg)
+                                                    cfg_t)
             except Exception as e:   # VMEM overflow etc: record and move on
                 row[f"T{t}"] = f"failed: {type(e).__name__}"
                 print(f"{scene} T{t}: FAILED {e}", flush=True)
                 continue
-            finally:
-                sb._TILE_OVERRIDE = None
             row[f"T{t}"] = round(ms, 2)
             row[f"T{t}_overflow"] = ovf
             if base is None:

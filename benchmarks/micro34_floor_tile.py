@@ -57,8 +57,9 @@ def main():
     def built(s):
         planes, counts, flat, _, srows, overflow = sb._build_core(
             s.predicted, s.vel, params, cfg)
-        gx, gy, gz, S, S_pad, NYC, PAD, L = sb._geometry(cfg)
-        own, m0 = sb.occupancy_bounds(counts, gx, S_pad, PAD, gz)
+        g = sb._geometry(cfg)
+        gx, gy, gz, S, S_pad, NYC, PAD, L = g[:8]
+        own, m0 = sb.occupancy_bounds(counts, g)
         return planes, flat, srows, own, m0
 
     def occ_probe(s):
@@ -101,17 +102,17 @@ def main():
                "note": "empty-body (grid0) kernel floors vs tile width; "
                "occ = same-session build anchor per width; flagship grid "
                "steps/pass = 672/336/168 @ T1024/2048/4096"}
+    import dataclasses
+    cfg0 = cfg
     for t in (1024, 2048, 4096):
-        sb._TILE_OVERRIDE = t
-        try:
-            for name, fn in (("occ", occ_probe), ("d_grid0", d_probe),
-                             ("f_grid0", f_probe)):
-                ms, compile_s = scan_time(fn)
-                results[f"{name}_T{t}"] = round(ms, 2)
-                print(f"T{t:<5d} {name:9s} {ms:7.2f} ms/it "
-                      f"(compile {compile_s:.0f}s)", flush=True)
-        finally:
-            sb._TILE_OVERRIDE = None
+        # rebind the closure the probes read: each width traces fresh jits
+        cfg = dataclasses.replace(cfg0, tile_override=t)
+        for name, fn in (("occ", occ_probe), ("d_grid0", d_probe),
+                         ("f_grid0", f_probe)):
+            ms, compile_s = scan_time(fn)
+            results[f"{name}_T{t}"] = round(ms, 2)
+            print(f"T{t:<5d} {name:9s} {ms:7.2f} ms/it "
+                  f"(compile {compile_s:.0f}s)", flush=True)
 
     with open("benchmarks/micro34_floor_tile_results.json", "w") as f:
         json.dump(results, f, indent=1)

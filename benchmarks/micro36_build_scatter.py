@@ -44,17 +44,17 @@ def main():
                   for x in scalars)
         return dataclasses.replace(s, predicted=s.predicted + eps)
 
-    def occ_probe(s):
+    def occ_probe(s, cfg_m):
         planes, counts, flat, _, srows, overflow = sb._build_core(
-            s.predicted, s.vel, params, cfg)
-        gx, gy, gz, S, S_pad, NYC, PAD, L = sb._geometry(cfg)
-        own, m0 = sb.occupancy_bounds(counts, gx, S_pad, PAD, gz)
+            s.predicted, s.vel, params, cfg_m)
+        g = sb._geometry(cfg_m)
+        own, m0 = sb.occupancy_bounds(counts, g)
         return chain(s, own[0, 0].astype(jnp.float32),
                      m0[0, 0].astype(jnp.float32), flat[0], srows[0, 0],
                      planes[0, 0, 0])
 
-    def full(s):
-        return rollout(s, params, cfg, 1)
+    def full(s, cfg_m):
+        return rollout(s, params, cfg_m, 1)
 
     def scan_time(body, reps=3):
         @jax.jit
@@ -76,20 +76,19 @@ def main():
 
     results = {"n": cfg.n, "steps_per_scan": STEPS}
     pos = {}
-    try:
-        for mode in ("stack", "windowed"):
-            sb._BUILD_SCATTER = mode
-            for name, fn in (("occ", occ_probe), ("full", full)):
-                ms, compile_s, out = scan_time(fn)
-                results[f"{name}_{mode}"] = round(ms, 2)
-                print(f"{mode:9s} {name:5s} {ms:7.2f} ms/it "
-                      f"(compile {compile_s:.0f}s)", flush=True)
-                if name == "full":
-                    pos[mode] = np.asarray(out.pos)
-                    results[f"overflow_{mode}"] = float(
-                        np.asarray(out.overflow_total))
-    finally:
-        sb._BUILD_SCATTER = "windowed"
+    import dataclasses
+    for mode in ("stack", "windowed"):
+        cfg_m = dataclasses.replace(cfg, build_scatter=mode)
+        for name, fn in (("occ", occ_probe), ("full", full)):
+            ms, compile_s, out = scan_time(
+                lambda s, fn=fn, cfg_m=cfg_m: fn(s, cfg_m))
+            results[f"{name}_{mode}"] = round(ms, 2)
+            print(f"{mode:9s} {name:5s} {ms:7.2f} ms/it "
+                  f"(compile {compile_s:.0f}s)", flush=True)
+            if name == "full":
+                pos[mode] = np.asarray(out.pos)
+                results[f"overflow_{mode}"] = float(
+                    np.asarray(out.overflow_total))
 
     bits = pos["stack"].view(np.uint32) ^ pos["windowed"].view(np.uint32)
     results["bit_identical_50_steps"] = bool((bits == 0).all())

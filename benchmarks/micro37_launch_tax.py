@@ -61,8 +61,9 @@ def main():
     def prebuild(s):
         planes, counts, flat, _, srows, overflow = sb._build_core(
             s.predicted, s.vel, params, cfg)
-        gx, gy, gz, S, S_pad, NYC, PAD, L = sb._geometry(cfg)
-        own, m0 = sb.occupancy_bounds(counts, gx, S_pad, PAD, gz)
+        g = sb._geometry(cfg)
+        gx, gy, gz, S, S_pad, NYC, PAD, L = g[:8]
+        own, m0 = sb.occupancy_bounds(counts, g)
         return planes, own, m0
 
     planes_c, own_c, m0_c = jax.block_until_ready(prebuild(state))
@@ -102,8 +103,9 @@ def main():
     def built(s):
         planes, counts, flat, _, srows, overflow = sb._build_core(
             s.predicted, s.vel, params, cfg)
-        gx, gy, gz, S, S_pad, NYC, PAD, L = sb._geometry(cfg)
-        own, m0 = sb.occupancy_bounds(counts, gx, S_pad, PAD, gz)
+        g = sb._geometry(cfg)
+        gx, gy, gz, S, S_pad, NYC, PAD, L = g[:8]
+        own, m0 = sb.occupancy_bounds(counts, g)
         return planes, flat, srows, own, m0
 
     def anchor_build(s):

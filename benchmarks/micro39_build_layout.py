@@ -53,7 +53,8 @@ def main():
     print("settled", flush=True)
 
     cfg, params, state = sim.cfg, sim.params, sim.state
-    gx, gy, gz, S, S_pad, NYC, PAD, L = sb._geometry(cfg)
+    g = sb._geometry(cfg)
+    gx, gy, gz, S, S_pad, NYC, PAD, L = g[:8]
     dims = cfg.grid_dims
     cap = cfg.cell_capacity
     cap_p = sb._cap_pad(cap)

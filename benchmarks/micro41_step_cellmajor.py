@@ -37,13 +37,11 @@ def main():
     cfg, params, state = sim.cfg, sim.params, sim.state
 
     def step_body(mode):
+        import dataclasses
+        cfg_m = dataclasses.replace(cfg, build_scatter=mode)
+
         def fn(s):
-            old = sb._BUILD_SCATTER
-            sb._BUILD_SCATTER = mode
-            try:
-                return step_mod.step(s, params, cfg)
-            finally:
-                sb._BUILD_SCATTER = old
+            return step_mod.step(s, params, cfg_m)
         return fn
 
     def scan_time(body, fetch, reps=3):

@@ -106,12 +106,13 @@ def main():
     from water_sandbox_tpu.models import scenes
     from water_sandbox_tpu.ops.pallas import sph_bucket as sb
     cfg, _, _ = scenes.build("moving-container-256k")
-    gx, gy, gz, S, S_pad, NYC, PAD, Lx = sb._geometry(cfg)
+    g = sb._geometry(cfg)
+    gx, gy, gz, S, S_pad, NYC, PAD, Lx = g[:8]
     counts_l = jnp.zeros((1, Lx), jnp.float32).at[0, PAD:PAD + n].set(1.0)
 
     @jax.jit
     def occ(c):
-        return sb.occupancy_bounds(c, gx, S_pad, PAD, gz)
+        return sb.occupancy_bounds(c, g)
 
     rec("occupancy_bounds", timeit(occ, counts_l))
 

@@ -49,13 +49,14 @@ def main():
     state, params, _ = checkpoint.load(args.checkpoint)
     cfg = sim.cfg
     coeffs = KernelCoeffs.from_radius(params.smoothing_radius, cfg.dim)
-    gx, gy, gz, S, S_pad, NYC, PAD, L = sb._geometry(cfg)
+    g = sb._geometry(cfg)
+    gx, gy, gz, S, S_pad, NYC, PAD, L = g[:8]
 
     build = jax.jit(functools.partial(sb._build_slab_buckets, cfg=cfg))
     planes, counts, addr, overflow = build(state.predicted, state.vel,
                                            params)
     own, m0 = jax.jit(
-        lambda c: sb.occupancy_bounds(c, gx, S_pad, PAD, gz))(counts)
+        lambda c: sb.occupancy_bounds(c, g))(counts)
     pv = sb._param_vector(params, coeffs)
 
     variants = [("slab", 1), ("slab", 2), ("slab", 4), ("slab", 8),

@@ -45,21 +45,23 @@ def main():
     from water_sandbox_tpu.ops.pallas import sph_bucket as sb
     from water_sandbox_tpu.runtime import checkpoint
 
-    if args.tile:
-        sb._TILE_OVERRIDE = args.tile
+    import dataclasses
 
     sim = wst.Simulation.from_scene("moving-container-256k",
                                     neighbor_mode="pallas")
     state, params, _ = checkpoint.load(args.checkpoint)
     cfg = sim.cfg
+    if args.tile:
+        cfg = dataclasses.replace(cfg, tile_override=args.tile)
     coeffs = KernelCoeffs.from_radius(params.smoothing_radius, cfg.dim)
-    gx, gy, gz, S, S_pad, NYC, PAD, L = sb._geometry(cfg)
+    g = sb._geometry(cfg)
+    gx, gy, gz, S, S_pad, NYC, PAD, L = g[:8]
 
     build = jax.jit(functools.partial(sb._build_slab_buckets, cfg=cfg))
     planes, counts, addr, overflow = build(state.predicted, state.vel,
                                            params)
     own, m0 = jax.jit(
-        lambda c: sb.occupancy_bounds(c, gx, S_pad, PAD, gz))(counts)
+        lambda c: sb.occupancy_bounds(c, g))(counts)
     pv = sb._param_vector(params, coeffs)
     dens = jax.jit(functools.partial(
         sb._run_density, params_vec=pv, cfg=cfg, interpret=False))(
@@ -96,15 +98,16 @@ def main():
         # re-run the full pipeline under 512-lane tiles (window margin 256
         # keeps PAD a multiple of _T); probes whether the ~15 ns/vector-op
         # wall amortizes with wider tiles
-        sb._TILE_OVERRIDE = 512
-        gx, gy, gz, S, S_pad, NYC, PAD, L = sb._geometry(cfg)
+        cfg = dataclasses.replace(cfg, tile_override=512)
+        g = sb._geometry(cfg)
+        gx, gy, gz, S, S_pad, NYC, PAD, L = g[:8]
         # fresh jit wrappers: the earlier ones would replay executables
         # traced under the 256-lane geometry (same input shapes)
         build2 = jax.jit(functools.partial(sb._build_slab_buckets, cfg=cfg))
         planes2, counts2, addr2, _ = build2(state.predicted, state.vel,
                                             params)
         own2, m02 = jax.jit(
-            lambda c: sb.occupancy_bounds(c, gx, S_pad, PAD, gz))(counts2)
+            lambda c: sb.occupancy_bounds(c, g))(counts2)
         dpass = jax.jit(functools.partial(
             sb._run_density, params_vec=pv, cfg=cfg, interpret=False))
         results["density_slab8_t512"] = round(

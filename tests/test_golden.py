@@ -108,16 +108,18 @@ GOLDEN = {
     # step (overflow_total == 0; artifact:
     # benchmarks/moving_container_1k_tpu.json) — pins the perf-critical
     # config so kernel work cannot silently change flagship physics.
-    # Regenerated at the r4 1024-lane tile default: chunk partitioning sets
-    # qsym's pair→accumulator assignment, so the summation ORDER changed
-    # (physics-equivalent; 1k chaotic steps realize a slightly different
-    # settled state).
+    # Regenerated at the r5 CONTAINER-FRAME grid ((162, 32, 58),
+    # grid_frame='container' — micro45): the key frame sets the sort order
+    # and chunk partitioning, so the accumulation ORDER changed
+    # (physics-equivalent — isometric keys, world-coordinate distance
+    # filter; 1k chaotic steps realize a slightly different settled state,
+    # every pinned stat within 0.1% of the r4 world-frame run).
     ("moving-container-256k", "pallas", 1000): dict(
-        com=[2.69957, -2.93796, -0.02998], ke=223736.09,
+        com=[2.6997, -2.93742, -0.02899], ke=223845.0,
         bbox_lo=[-18.26894, -4.9, -10.10571],
-        bbox_hi=[23.26892, -0.29427, 10.10571],
-        mean_rho=178.8285,
-        vq=[0.52583, 1.0986, 1.93564], rq=[153.826, 174.5518, 210.5196],
+        bbox_hi=[23.26892, -0.19998, 10.10571],
+        mean_rho=178.8224,
+        vq=[0.52844, 1.10135, 1.93467], rq=[153.8768, 174.4156, 210.5659],
         marks=tpu_only),
 }
 

@@ -37,7 +37,7 @@ def _check_cache_consistency(state, cache, cfg, lookahead=None):
     """Planes/addr must exactly mirror the particle-order state. With
     ``lookahead`` given, also checks the derived-position relation
     pos = predicted - vel*lookahead (exact to one float rounding)."""
-    gx, gy, gz, S, S_pad, NYC, PAD, L = sb._geometry(cfg)
+    gx, gy, gz, S, S_pad, NYC, PAD, L = sb._geometry(cfg)[:8]
     cap_p = sb._cap_pad(cfg.cell_capacity)
     PL = cap_p * L
     addr = np.asarray(cache.addr)
@@ -130,7 +130,7 @@ def test_incremental_rescue_matches_dense_oracle():
                     rescue_capacity=512, incremental_rebuild=8)
     cache = inc.build_cache(state.predicted, state.vel, params, cfg)
     assert int(jnp.sum(cache.addr == sb._cap_pad(8)
-                       * sb._geometry(cfg)[-1])) > 0, \
+                       * sb._geometry(cfg).L)) > 0, \
         "test scene must force overflow"
 
     s_inc, s_dense = state, state

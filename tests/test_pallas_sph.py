@@ -42,14 +42,22 @@ def test_pallas_matches_xla_bucket(dim):
 def test_pallas_geometry_alignment():
     cfg = SimConfig(n=64, dim=3, neighbor_mode="pallas",
                     grid_dims=(16, 12, 10), cell_capacity=8)
-    gx, gy, gz, S, S_pad, NYC, PAD, L = sph_bucket._geometry(cfg)
-    assert S == 120 and S_pad % sph_bucket._T == 0 and S_pad >= S
-    assert NYC == S_pad // sph_bucket._T
+    g = sph_bucket._geometry(cfg)
+    gx, gy, gz, S, S_pad, NYC, PAD, L = g[:8]
+    assert S == 120 and S_pad % g.T == 0 and S_pad >= S
+    assert NYC == S_pad // g.T
     # PAD must be a multiple of the lane-chunk width (output BlockSpec
     # tiling) and leave room for the edge slabs' full halo windows
-    assert PAD % sph_bucket._T == 0
-    assert PAD >= S_pad + sph_bucket._M
+    assert PAD % g.T == 0
+    assert PAD >= S_pad + g.M
     assert L == PAD + gx * S_pad + PAD
+    # _geometry is pure: a tile_override config traced "interleaved" with
+    # the default one changes nothing about the default's geometry
+    import dataclasses
+    g512 = sph_bucket._geometry(
+        dataclasses.replace(cfg, tile_override=512))
+    assert g512.T == 512 and g512.M == 256
+    assert sph_bucket._geometry(cfg) == g
 
 
 def test_pallas_rejects_oversized_z():
@@ -104,8 +112,9 @@ def test_gate_variants_match_xla_bucket(gate):
 
     planes, counts, addr, overflow = sph_bucket._build_slab_buckets(
         pred, vel, params, cfg)
-    gx, gy, gz, S, S_pad, NYC, PAD, L = sph_bucket._geometry(cfg)
-    own, m0 = sph_bucket.occupancy_bounds(counts, gx, S_pad, PAD, gz)
+    g = sph_bucket._geometry(cfg)
+    gx, gy, gz, S, S_pad, NYC, PAD, L = g[:8]
+    own, m0 = sph_bucket.occupancy_bounds(counts, g)
     pv = sph_bucket._param_vector(params, coeffs)
     assert int(overflow) == 0
 
@@ -122,3 +131,47 @@ def test_gate_variants_match_xla_bucket(gate):
                                rtol=2e-4, atol=2e-4, err_msg="nden")
     np.testing.assert_allclose(np.asarray(acc), np.asarray(ref[4]),
                                rtol=2e-4, atol=2e-4, err_msg="acc")
+
+
+def test_container_frame_keys_match_world(tmp_path):
+    """grid_frame='container' changes the bucket-key frame only: with a
+    yawed/translated box pose the pair set is identical (isometric keys +
+    world-coordinate distance filter), so results match the world-frame
+    pipeline to reassociation tolerance — and overflow accounting stays
+    clean on a grid sized to the BODY frame, which the world grid would
+    need a swept AABB to cover (ops/hashing.py::key_coords; adopted by the
+    flagship scene after benchmarks/micro45)."""
+    import dataclasses
+
+    from water_sandbox_tpu.core.params import Container
+
+    dim = 3
+    pred, vel = make_inputs(dim, seed=7)
+    n = pred.shape[0]
+    params = SimParams.create(
+        dim=dim,
+        container=Container.create(
+            center=(0.3, -0.1, 0.2), size=(2.4, 2.4, 2.4),
+            velocity=(0.5, 0.0, 0.0), angular_velocity=0.4, angle=0.3))
+    coeffs = KernelCoeffs.from_radius(params.smoothing_radius, dim)
+    cfg_w = SimConfig(n=n, dim=dim, neighbor_mode="pallas",
+                      grid_dims=(12,) * dim, cell_capacity=8)
+    cfg_c = dataclasses.replace(cfg_w, grid_frame="container")
+    t = jnp.asarray(1.7, jnp.float32)
+
+    ref = sph_bucket.bucket_sph(pred, vel, params, coeffs, cfg_w,
+                                interpret=True, time=t)
+    out = sph_bucket.bucket_sph(pred, vel, params, coeffs, cfg_c,
+                                interpret=True, time=t)
+    assert int(ref[5]) == 0 and int(out[5]) == 0
+    for name, a, b in zip(["den", "nden", "prs", "nprs", "acc"],
+                          out[:5], ref[:5]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+    # grid_frame='container' must be refused where it cannot work
+    with pytest.raises(ValueError, match="incremental"):
+        dataclasses.replace(cfg_c, incremental_rebuild=4)
+    with pytest.raises(ValueError, match="time"):
+        sph_bucket.bucket_sph(pred, vel, params, coeffs, cfg_c,
+                              interpret=True)

@@ -46,7 +46,7 @@ def model(scene: str, ndev: int, step_ms_1chip: float,
     gx_loc = gx // ndev
     cfg_loc = dataclasses.replace(cfg, grid_dims=(gx_loc,)
                                   + cfg.grid_dims[1:])
-    _, _, gz, S, S_pad, NYC, PAD, L = sb._geometry(cfg_loc)
+    _, _, gz, S, S_pad, NYC, PAD, L = sb._geometry(cfg_loc)[:8]
     cap_p = sb._cap_pad(cfg.cell_capacity)
     dim = cfg.dim
 

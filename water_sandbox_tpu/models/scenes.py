@@ -221,18 +221,23 @@ def _moving_container_256k():
     # and corners stay under capacity; rescue is then a transient-only
     # safety net and no particle ever ghosts (ghost pileups were the
     # round-2 collapse mode).
-    # Grid dims must cover the YAWED box's AABB, not the axis-aligned one:
-    # at yaw angle a the footprint grows to (40cos a + 14sin a) x
-    # (40sin a + 14cos a). Undersized dims are still EXACT physics (cell
-    # keys clamp, and clamping is a monotone non-expansive map, so pairs
-    # within h stay within one cell ring — see ops/pallas/incremental.py)
-    # but pack the out-of-grid slab into the boundary cell plane, which
-    # heats the kernels' occupancy bounds: measured settled step 114 ms at
-    # the axis-aligned (164, 44, 60) vs 87.6 ms at (168, 44, 80)
-    # (benchmarks/micro12_grid_results.json). (168, 44, 80) covers the
-    # sweep through ~950 steps from the lattice (yaw 0.16 rad); z=80 is
-    # free vs z=72 (both pad to the same 3584-lane slab stride).
-    cfg = SimConfig(n=pts.shape[0], dim=3, grid_dims=(168, 44, 80),
+    # CONTAINER-FRAME grid (round 5): cell keys are computed in the yawing
+    # box's body frame (ops/hashing.py::key_coords), so the static grid
+    # covers only the box interior — (162, 32, 58) body cells — instead of
+    # the swept world AABB the round-3/4 grid needed ((168, 44, 80); at yaw
+    # angle a the world footprint grows to (40cos a + 14sin a) x
+    # (40sin a + 14cos a) and starts clamping past yaw 0.16 rad ~ step
+    # 950). Halving S_pad (4096 -> 2048 at the pinned 1024-lane tile) and
+    # the grid-program count (672 -> 324) measured 40.62 -> 33.19 ms/step
+    # settled (benchmarks/micro45_container_frame_results.json); physics
+    # is exact either way (isometric keys + world-coordinate distance
+    # filter — same argument as clamping, micro12), trajectories differ at
+    # float-reassociation level. Body-frame fluid extents over the full
+    # 1k-step trajectory: (159.2, 30.2, 55.2) cells — margins (2.8, 1.8,
+    # 2.8) under the dims, overflow_total == 0; excursions past the dims
+    # would clamp (exact, monotone non-expansive), never drop.
+    cfg = SimConfig(n=pts.shape[0], dim=3, grid_dims=(162, 32, 58),
+                    grid_frame="container", tile_override=1024,
                     cell_capacity=16, chunk=8192, rescue_capacity=16384,
                     sorted_state=True)  # see reference-cube
     # k=100 (reference formula, stiffer constant — it's the HUD-tunable

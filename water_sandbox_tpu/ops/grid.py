@@ -110,10 +110,14 @@ def num_cells(cfg: SimConfig) -> int:
 # --------------------------------------------------------------------------
 
 def build_bucket_grid(predicted: Array, vel: Array, params: SimParams,
-                      cfg: SimConfig) -> BucketGrid:
+                      cfg: SimConfig, time: Array | None = None
+                      ) -> BucketGrid:
     """cell ids → argsort → run starts (scatter-min, the functional analogue
     of the reference's atomicMin) → in-cell slots → scatter into slot-major
-    buckets."""
+    buckets.
+
+    ``time`` feeds the container pose when cfg.grid_frame == 'container'
+    (hashing.key_coords); the buckets still store world coordinates."""
     n, dim = predicted.shape
     h = params.smoothing_radius
     dims = cfg.grid_dims
@@ -121,8 +125,9 @@ def build_bucket_grid(predicted: Array, vel: Array, params: SimParams,
     cap = cfg.cell_capacity
     dtype = predicted.dtype
 
-    origin = hashing.grid_origin(predicted, h)
-    _, cid = hashing.bounded_cell_ids(predicted, h, origin, dims)
+    kpred = hashing.key_coords(predicted, params, cfg, time)
+    origin = hashing.grid_origin(kpred, h)
+    _, cid = hashing.bounded_cell_ids(kpred, h, origin, dims)
 
     order = jnp.argsort(cid).astype(jnp.int32)
     sorted_cid = cid[order]
@@ -339,7 +344,8 @@ def _from_cells(cell_arr: Array, addr: Array, fill) -> Array:
 
 
 def bucket_sph(predicted: Array, vel: Array, params: SimParams,
-               coeffs: KernelCoeffs, cfg: SimConfig, constrain=None):
+               coeffs: KernelCoeffs, cfg: SimConfig, constrain=None,
+               time: Array | None = None):
     """Full bucket-grid SPH: returns per-particle
     (den, nden, prs, nprs, acc, overflow).
 
@@ -358,7 +364,7 @@ def bucket_sph(predicted: Array, vel: Array, params: SimParams,
     from . import rescue as rescue_mod
 
     unroll = constrain is not None
-    grid = build_bucket_grid(predicted, vel, params, cfg)
+    grid = build_bucket_grid(predicted, vel, params, cfg, time=time)
     if constrain is not None:
         grid = BucketGrid(
             cell_pos=constrain(grid.cell_pos),

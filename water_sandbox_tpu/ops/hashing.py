@@ -105,6 +105,36 @@ def grid_origin(predicted: Array, h: Array) -> Array:
     return jnp.min(predicted, axis=0) - h
 
 
+def key_coords(predicted: Array, params, cfg, time: Array | None) -> Array:
+    """Coordinates the cell keys are computed from.
+
+    ``cfg.grid_frame == "container"`` maps positions into the (possibly
+    translating/yawing) container's BODY frame before binning: the rigid
+    map is an isometry, so any pair within h in world space is within
+    h·(1+ε) in key space and stays within one cell ring — the coverage
+    argument is unchanged — while the static grid now needs to span only
+    the box interior, never the yawed sweep's world AABB (the flagship's
+    world grid is (168, 44, 80) = 591k cells against a body-frame fluid
+    extent of ~(160, 30, 56); micro45). The planes still store WORLD
+    positions and the kernels' distance filter runs on them, so the key
+    frame changes performance and float-accumulation order only — never
+    the pair set (same exactness class as clamping, see
+    benchmarks/micro12_grid_results.json).
+
+    "world" (default) returns ``predicted`` unchanged.
+    """
+    if cfg.grid_frame == "world":
+        return predicted
+    if time is None:
+        raise ValueError(
+            "grid_frame='container' needs the sim time for the box pose; "
+            "this neighbor pipeline does not thread it")
+    from . import integrate as integrate_mod
+    center, angle = integrate_mod.container_at(params.container, time)
+    return integrate_mod._rotate_yaw(predicted - center, angle,
+                                     inverse=True)
+
+
 def default_grid_dims(container_size, smoothing_radius: float, margin: int = 4):
     """Static grid dims covering the container plus a safety margin."""
     import math

@@ -205,7 +205,8 @@ def step_inc(state: FluidState, cache: BucketCache, params: SimParams,
         interpret = jax.default_backend() != "tpu"
     dim = cfg.dim
     h = params.smoothing_radius
-    gx, gy, gz, S, S_pad, NYC, PAD, L = sb._geometry(cfg)
+    g = sb._geometry(cfg)
+    gx, gy, gz, S, S_pad, NYC, PAD, L = g[:8]
     cap_p = sb._cap_pad(cfg.cell_capacity)
     PL = cap_p * L
     n = state.n
@@ -311,7 +312,7 @@ def step_inc(state: FluidState, cache: BucketCache, params: SimParams,
     dropped = addr_r == PL
     overflow = jnp.sum(dropped).astype(jnp.int32)
     top, _ = _top_row(planes_r, cap_p)
-    own, m0 = sb.occupancy_bounds(top, gx, S_pad, PAD, gz)
+    own, m0 = sb.occupancy_bounds(top, g)
 
     dens = sb._run_density(planes_r, own, m0, params_vec, cfg, interpret)
 

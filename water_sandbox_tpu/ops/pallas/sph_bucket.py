@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import functools
 import itertools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -52,29 +53,37 @@ Array = jax.Array
 
 _FAR = 1.0e15
 
-# Lane-tile geometry. These module globals are SET BY `_geometry(cfg)` at
-# trace time (every traced entry point calls it before building kernels),
-# so they are always consistent with the cfg being traced. Wide scenes use
-# 1024-lane tiles (see _pick_tile): wider tiles cost more pair-slot padding
-# (chunk-max occupancy gates more lanes) but fewer grid programs and fewer
-# per-tile dynamic-lane loads — measured net win at each widening step
-# (512: micro9b; 1024 at the cap-16 grid: micro30). Narrow scenes keep 256
-# to bound slab padding and occupancy-gate width.
-_T = 256    # lane-chunk width (one grid program per (slab, chunk))
-_M = 128    # window lane margin; covers the oy/oz reach (needs gz < _M)
-_CLW = _T + 2 * _M   # per-slab window width in the VMEM scratch
-_TILE_OVERRIDE = None   # benchmarks may pin a tile width (e.g. 256/512)
-_FLUSH_GATED = True     # qsym flush/re-zero gated on occupancy bounds
-# Window DMA for grid step s+1 issued during step s. Benchmark-only knob:
-# the False (baseline) path still allocates the parity-doubled window
-# scratch it never uses (~2x VMEM vs the true round-3 kernel), so
-# VMEM-pressure-sensitive A/Bs slightly favor the prefetch variant.
-_DMA_PREFETCH = True
+
+class Geom(NamedTuple):
+    """Slab-padded lane geometry — a PURE function of SimConfig (see
+    `_geometry`). Threaded explicitly through every kernel builder and
+    body, so tracing two differently-shaped configs interleaved is safe by
+    construction (these were trace-time module globals through round 4 —
+    VERDICT r4 weak #6). The first 8 fields keep the historical tuple
+    order, so `gx, gy, gz, S, S_pad, NYC, PAD, L = _geometry(cfg)[:8]`
+    still works for the benchmark harnesses."""
+    gx: int
+    gy: int
+    gz: int
+    S: int
+    S_pad: int
+    NYC: int
+    PAD: int
+    L: int
+    # Lane-tile knobs. Wide scenes use 1024-lane tiles (see _pick_tile):
+    # wider tiles cost more pair-slot padding (chunk-max occupancy gates
+    # more lanes) but fewer grid programs and fewer per-tile dynamic-lane
+    # loads — measured net win at each widening step (512: micro9b; 1024
+    # at the cap-16 grid: micro30). Narrow scenes keep 256 to bound slab
+    # padding and occupancy-gate width.
+    T: int      # lane-chunk width (one grid program per (slab, chunk))
+    M: int      # window lane margin; covers the oy/oz reach (needs gz < M)
+    CLW: int    # per-slab window width in the VMEM scratch = T + 2*M
 
 
-def _pick_tile(S: int) -> int:
-    if _TILE_OVERRIDE is not None:
-        return _TILE_OVERRIDE
+def _pick_tile(S: int, override: int = 0) -> int:
+    if override:
+        return override
     # wide scenes: 1024 re-measured fastest at the cap-16 grid (the old
     # t1024-loses result was a cap-48 artifact): settled flagship 42.96 ms
     # vs 44.63 @512 / 47.38 @256 — fewer grid programs beat the extra
@@ -113,7 +122,7 @@ def _round_up(x: int, m: int) -> int:
 def _oy_groups(dys, gz):
     """Group flat-lane shifts dy = oy*gz + oz (oz in {-1, 0, 1}) by oy,
     preserving the input order within and across groups — the wide-load
-    kernel variants slice the 3 oz shifts from one (…, _T + 2) load per oy
+    kernel variants slice the 3 oz shifts from one (…, T + 2) load per oy
     and must process pairs in exactly the narrow path's order so the
     accumulation stays bit-identical. Needs gz >= 3 (oy recovery)."""
     groups = []
@@ -135,52 +144,50 @@ def _cap_pad(cap: int) -> int:
     return _round_up(cap, 8)
 
 
-def _geometry(cfg: SimConfig):
+def _geometry(cfg: SimConfig) -> Geom:
     """Slab-padded layout: flat lane l = PAD + x·S_pad + (y·gz + z);
-    PAD = S_pad + 2·_M dead/halo lanes at each end so (a) every window the
-    edge slabs read exists in-bounds and (b) PAD is a multiple of _T, which
+    PAD = S_pad + 2·M dead/halo lanes at each end so (a) every window the
+    edge slabs read exists in-bounds and (b) PAD is a multiple of T, which
     lets the kernels' output tiles use plain BlockSpec pipelining."""
-    global _T, _M, _CLW
     dims = cfg.grid_dims
     gx, gy = dims[0], dims[1]
     gz = dims[2] if cfg.dim == 3 else 1
     S = gy * gz
-    _T = _pick_tile(S)
-    _M = _T // 2
-    _CLW = _T + 2 * _M
-    if gz > _M - 1:
+    T = _pick_tile(S, cfg.tile_override)
+    M = T // 2
+    CLW = T + 2 * M
+    if gz > M - 1:
         raise ValueError(
-            f"pallas path needs grid z-dim < {_M}; got {gz} — use the "
+            f"pallas path needs grid z-dim < {M}; got {gz} — use the "
             "bucket_grid XLA path or a coarser grid")
-    S_pad = _round_up(S, _T)
-    NYC = S_pad // _T
-    PAD = S_pad + 2 * _M
+    S_pad = _round_up(S, T)
+    NYC = S_pad // T
+    PAD = S_pad + 2 * M
     L = PAD + gx * S_pad + PAD
-    return gx, gy, gz, S, S_pad, NYC, PAD, L
-
-
-# Feature-plane scatter shape. "cellmajor" (default since r5): 2·dim
-# per-feature scatters at CELL-MAJOR addresses — consecutive sorted
-# particles write adjacent elements (same cell -> adjacent slots, next
-# cell -> next cap_p block) — then a transpose back to the kernels'
-# slot-major (cap_p, L) layout. Measured: isolated build 15.53 vs 16.73 ms
-# (micro39), full step 40.28 vs 41.34 ms ssync with bit-identical
-# trajectories (micro41_step_cellmajor_results.json). "stack" is the
-# round-3/4 slot-major shape. "windowed" scatters all features in ONE
-# feature-LEADING windowed scatter (each update writes 2·dim values cap·L
-# apart) — measured much slower (micro36: full-chain 30.4 ms; micro37
-# later showed micro36's 8.3 ms "stack" anchor under-counted by DCE, but
-# the full-step A/B was FLAT). Outputs are bit-identical in every mode.
-_BUILD_SCATTER = "cellmajor"
+    return Geom(gx, gy, gz, S, S_pad, NYC, PAD, L, T, M, CLW)
 
 
 def _scatter_planes(srows: Array, flat: Array, dim: int, cap_p: int,
-                    L: int, dtype) -> Array:
+                    L: int, dtype, mode: str = "cellmajor") -> Array:
     """Scatter the (n, 2·dim) sorted feature rows into the slab-padded
     planes (2·dim, cap_p, L). Position rows fill with _FAR (the kernels'
     distance filter subsumes slot validity), velocity rows with 0. The
     capacity-overflow sentinel in ``flat`` is cap_p·L — one past the end —
     and is dropped by the scatter mode, never written.
+
+    ``mode`` (cfg.build_scatter) picks the scatter shape. "cellmajor"
+    (default since r5): 2·dim per-feature scatters at CELL-MAJOR addresses
+    — consecutive sorted particles write adjacent elements (same cell ->
+    adjacent slots, next cell -> next cap_p block) — then a transpose back
+    to the kernels' slot-major (cap_p, L) layout. Measured: isolated build
+    15.53 vs 16.73 ms (micro39), full step 40.28 vs 41.34 ms ssync with
+    bit-identical trajectories (micro41_step_cellmajor_results.json).
+    "stack" is the round-3/4 slot-major shape. "windowed" scatters all
+    features in ONE feature-LEADING windowed scatter (each update writes
+    2·dim values cap·L apart) — measured much slower (micro36: full-chain
+    30.4 ms; micro37 later showed micro36's 8.3 ms "stack" anchor
+    under-counted by DCE, but the full-step A/B was FLAT). Outputs are
+    bit-identical in every mode.
 
     unique_indices caveat: real addresses are unique, but the overflow
     sentinel can repeat across every overflowing particle, technically
@@ -191,14 +198,14 @@ def _scatter_planes(srows: Array, flat: Array, dim: int, cap_p: int,
     kernels' correctness claim ("exact" refers to in-bounds addressing,
     not uniqueness under overflow)."""
     nf = srows.shape[1]
-    if _BUILD_SCATTER == "windowed":
+    if mode == "windowed":
         fills = jnp.asarray([_FAR] * dim + [0.0] * (nf - dim), dtype)
         init = jnp.broadcast_to(fills[:, None], (nf, cap_p * L))
         return init.at[:, flat].set(
             srows.T, mode="drop",
             unique_indices=True).reshape(nf, cap_p, L)
 
-    if _BUILD_SCATTER == "cellmajor":
+    if mode == "cellmajor":
         # cell-major address: consecutive sorted particles write
         # consecutive elements (same cell -> adjacent slots, next cell ->
         # next cap_p block) — 6 per-feature scatters at LOCAL addresses
@@ -232,7 +239,8 @@ def _scatter_planes(srows: Array, flat: Array, dim: int, cap_p: int,
 
 
 def _build_core(predicted: Array, vel: Array, params, cfg: SimConfig,
-                carry: Array | None = None, origin: Array | None = None):
+                carry: Array | None = None, origin: Array | None = None,
+                time: Array | None = None):
     """Shared bucket-build core scattering DIRECTLY into the slab-padded
     kernel layout — no relayout copies between the build and the kernels.
 
@@ -261,12 +269,14 @@ def _build_core(predicted: Array, vel: Array, params, cfg: SimConfig,
     h = params.smoothing_radius
     dims = cfg.grid_dims
     cap = cfg.cell_capacity
-    gx, gy, gz, S, S_pad, NYC, PAD, L = _geometry(cfg)
+    g = _geometry(cfg)
+    gx, gy, gz, S, S_pad, NYC, PAD, L = g[:8]
     dtype = predicted.dtype
 
+    kpred = hashing.key_coords(predicted, params, cfg, time)
     if origin is None:
-        origin = hashing.grid_origin(predicted, h)
-    cell = jnp.floor((predicted - origin) / h).astype(jnp.int32)
+        origin = hashing.grid_origin(kpred, h)
+    cell = jnp.floor((kpred - origin) / h).astype(jnp.int32)
     cell = jnp.clip(cell, 0, jnp.asarray(dims, jnp.int32) - 1)
     r = cell[:, 1]
     if dim == 3:
@@ -288,7 +298,8 @@ def _build_core(predicted: Array, vel: Array, params, cfg: SimConfig,
     rows = jnp.concatenate(feats, axis=1)              # (n, 2·dim [+ k])
     srows = jnp.take(rows, order, axis=0)              # ONE gather
 
-    planes = _scatter_planes(srows[:, :2 * dim], flat, dim, cap_p, L, dtype)
+    planes = _scatter_planes(srows[:, :2 * dim], flat, dim, cap_p, L,
+                             dtype, mode=cfg.build_scatter)
 
     # occupied-slot counts derived from the position plane (occupied slots
     # hold real positions, empty ones _FAR) — a cheap streaming reduction
@@ -303,7 +314,8 @@ def _build_core(predicted: Array, vel: Array, params, cfg: SimConfig,
 
 
 def _build_slab_buckets(predicted: Array, vel: Array, params, cfg: SimConfig,
-                        origin: Array | None = None):
+                        origin: Array | None = None,
+                        time: Array | None = None):
     """Particle-order bucket build (see _build_core): inverts the sort
     permutation so ``addr`` maps PARTICLE i to its plane address — one
     (n,) int32 scatter (~5 ms at 256k; the sorted-state path skips it).
@@ -312,7 +324,7 @@ def _build_slab_buckets(predicted: Array, vel: Array, params, cfg: SimConfig,
     particles — and overflow ())."""
     n = predicted.shape[0]
     planes, counts, flat, order, _, overflow = _build_core(
-        predicted, vel, params, cfg, origin=origin)
+        predicted, vel, params, cfg, origin=origin, time=time)
     addr = jnp.zeros((n,), jnp.int32).at[order].set(flat, unique_indices=True)
     return planes, counts, addr, overflow
 
@@ -333,7 +345,8 @@ def build_local_slab_buckets(pred: Array, vel: Array, active: Array,
     n, dim = pred.shape
     h = params.smoothing_radius
     cap = cfg_loc.cell_capacity
-    gx, gy, gz, S, S_pad, NYC, PAD, L = _geometry(cfg_loc)
+    g = _geometry(cfg_loc)
+    gx, gy, gz, S, S_pad, NYC, PAD, L = g[:8]
     dtype = pred.dtype
 
     cell = jnp.floor((pred - origin) / h).astype(jnp.int32)
@@ -360,7 +373,8 @@ def build_local_slab_buckets(pred: Array, vel: Array, active: Array,
     rows = jnp.concatenate([pred, vel], axis=1)
     srows = jnp.take(rows, order, axis=0)
 
-    planes = _scatter_planes(srows[:, :2 * dim], flat, dim, cap_p, L, dtype)
+    planes = _scatter_planes(srows[:, :2 * dim], flat, dim, cap_p, L,
+                             dtype, mode=cfg_loc.build_scatter)
 
     # derived occupied-slot counts — see _build_slab_buckets. The domain
     # step re-derives these from the halo-EXCHANGED planes (free halo
@@ -374,8 +388,7 @@ def build_local_slab_buckets(pred: Array, vel: Array, active: Array,
     return planes, counts, addr, overflow
 
 
-def occupancy_bounds(counts: Array, gx: int, S_pad: int, PAD: int,
-                     gz: int) -> tuple[Array, Array]:
+def occupancy_bounds(counts: Array, g: Geom) -> tuple[Array, Array]:
     """Occupancy bounds for the gated kernels, from the per-cell counts row.
 
     Returns (own, m0):
@@ -389,18 +402,18 @@ def occupancy_bounds(counts: Array, gx: int, S_pad: int, PAD: int,
       Aliased reads beyond that (flat-axis row wrap) are always distance-
       masked, so they need no occupancy cover.
     """
-    NYC = S_pad // _T
+    gx, S_pad, NYC, PAD, gz, T = g.gx, g.S_pad, g.NYC, g.PAD, g.gz, g.T
     mg = gz + 1
-    own = counts[0, PAD:PAD + gx * S_pad].reshape(gx, NYC, _T).max(axis=-1)
+    own = counts[0, PAD:PAD + gx * S_pad].reshape(gx, NYC, T).max(axis=-1)
 
     # chunk block-max, then the ±mg margin via the neighboring chunks' edge
     # maxes (margins clamp at slab-row ends, like cells do) — three (gx+2,
     # NYC) maxes instead of NYC overlapping row slices
     blk = counts[0, PAD - S_pad:PAD + (gx + 1) * S_pad].reshape(
-        gx + 2, NYC, _T)
+        gx + 2, NYC, T)
     bmax = blk.max(axis=-1)
     ledge = blk[:, :, :mg].max(axis=-1)     # first mg lanes of each chunk
-    redge = blk[:, :, _T - mg:].max(axis=-1)
+    redge = blk[:, :, T - mg:].max(axis=-1)
     zero = jnp.zeros_like(bmax[:, :1])
     prev = jnp.concatenate([zero, redge[:, :-1]], axis=1)
     nxt = jnp.concatenate([ledge[:, 1:], zero], axis=1)
@@ -409,8 +422,8 @@ def occupancy_bounds(counts: Array, gx: int, S_pad: int, PAD: int,
             jnp.ceil(m0).astype(jnp.int32))
 
 
-def _window_dma(refs, scratches, sems, own_ref, m0_ref, *, cap, S_pad,
-                NYC, gx, slabs=(0, 1, 2)):
+def _window_dma(refs, scratches, sems, own_ref, m0_ref, *, cap, g,
+                dma_prefetch=True, slabs=(0, 1, 2)):
     """Halo-window copies into the parity-doubled VMEM scratch: per (slab
     c, 8-slot block b), gated on that slab-chunk's occupancy bound — empty
     blocks (the common case at per-cell occupancy ~2) move no bytes.
@@ -419,7 +432,8 @@ def _window_dma(refs, scratches, sems, own_ref, m0_ref, *, cap, S_pad,
     which window slabs are copied (the symmetric force pass never reads
     slab x-1 — those pairs arrive as slab x-1's candidate writes).
 
-    With _DMA_PREFETCH (default), the window for grid step s+1 is issued
+    With ``dma_prefetch`` (cfg.dma_prefetch, default), the window for grid
+    step s+1 is issued
     DURING step s's compute (TPU grid steps run sequentially): each step
     waits for its own window (started one step earlier), then immediately
     starts the next step's copies into the other parity buffer before any
@@ -429,6 +443,7 @@ def _window_dma(refs, scratches, sems, own_ref, m0_ref, *, cap, S_pad,
     micro14/28). Semaphores need no parity dim: a slot's signal is always
     consumed (wait for step s) before the same slot is re-armed (issue for
     s+1). Returns the parity index selecting this step's scratch buffer."""
+    S_pad, NYC, gx, T, M, CLW = g.S_pad, g.NYC, g.gx, g.T, g.M, g.CLW
     i = pl.program_id(0)
     yc = pl.program_id(1)
 
@@ -436,20 +451,20 @@ def _window_dma(refs, scratches, sems, own_ref, m0_ref, *, cap, S_pad,
         own = own_ref[ii, jj]
         for c in slabs:
             occ_c = m0_ref[ii + c, jj]
-            start = _M + (ii + c) * S_pad + jj * _T
+            start = M + (ii + c) * S_pad + jj * T
             for b in range(cap // 8):
                 @pl.when((own > 0) & (occ_c > 8 * b))
                 def _(c=c, b=b, start=start):
                     for k, (ref, scr) in enumerate(zip(refs, scratches)):
                         cp = pltpu.make_async_copy(
-                            ref.at[:, pl.ds(8 * b, 8), pl.ds(start, _CLW)],
+                            ref.at[:, pl.ds(8 * b, 8), pl.ds(start, CLW)],
                             scr.at[pp, :, pl.ds(8 * b, 8),
-                                   pl.ds(c * _CLW, _CLW)],
+                                   pl.ds(c * CLW, CLW)],
                             sems.at[c, b, k],
                         )
                         cp.start() if action == "start" else cp.wait()
 
-    if not _DMA_PREFETCH:
+    if not dma_prefetch:
         copies(i, yc, 0, "start")
         copies(i, yc, 0, "wait")
         return 0
@@ -480,7 +495,7 @@ def _window_dma(refs, scratches, sems, own_ref, m0_ref, *, cap, S_pad,
 # neighborhood walk); block = gated-region row granularity. "qrow" flips
 # the axes: the query loop runs per REAL query slot (fori to occ_own, mean
 # ~2.7 — not 8-slot blocks) while each vector op covers all `block`
-# candidate slots of a gated block as one (block, _T) tile, sublane-reduced
+# candidate slots of a gated block as one (block, T) tile, sublane-reduced
 # per query row — ~3x fewer vector op-sets at settled occupancy with the
 # same branch count as ("slab", 8).
 # "qrow2"/"qrow3" are op-trimmed qrow variants (see _force_kernel); qrow3
@@ -498,15 +513,16 @@ _DENSITY_GATE = ("slab", 8)
 _FORCE_GATE = ("qsym", 8)
 
 
-def _gated_slot_loops(occs, do_rows, *, dim, cap, gz, struct, block):
+def _gated_slot_loops(occs, do_rows, *, dim, cap, gz, g, struct, block):
     """Emit the gated candidate-slot loops: do_rows(rows) runs inside each
     pl.when region with rows = [(slot, window-lane-start, is_center), ...].
     Regions are gated on the slab-chunk occupancy bound `occs[c] > b0` —
     rows past the bound cost nothing; within a block, rows past it are
     _FAR-masked work."""
+    M, CLW = g.M, g.CLW
     if struct == "slab":
         for c in range(3):
-            base = c * _CLW + _M
+            base = c * CLW + M
             for b0 in range(0, cap, block):
                 @pl.when(occs[c] > b0)
                 def _blk(c=c, b0=b0, base=base):
@@ -517,7 +533,7 @@ def _gated_slot_loops(occs, do_rows, *, dim, cap, gz, struct, block):
         for off in _offsets(dim):
             ox = off[0]
             dy = off[1] * gz + (off[2] if dim == 3 else 0)
-            cs = (ox + 1) * _CLW + _M + dy
+            cs = (ox + 1) * CLW + M + dy
             ic = all(o == 0 for o in off)
             for b0 in range(0, cap, block):
                 @pl.when(occs[ox + 1] > b0)
@@ -526,19 +542,20 @@ def _gated_slot_loops(occs, do_rows, *, dim, cap, gz, struct, block):
 
 
 def _density_kernel(own_ref, m0_ref, params_ref, feats_ref, out_ref,
-                    scr2, acc_scr, sems, *, dim, cap, gz, S_pad, NYC, gx,
-                    gate):
+                    scr2, acc_scr, sems, *, dim, cap, g, gate,
+                    dma_prefetch):
     if gate[0] == "grid0":
         # floor probe: completely empty body — measures the grid machinery
         # + whatever output movement the out_specs imply, nothing else
         return
+    gz, T, M, CLW = g.gz, g.T, g.M, g.CLW
     i = pl.program_id(0)
     yc = pl.program_id(1)
     occ_own = own_ref[i, yc]
     occs = [m0_ref[i, yc], m0_ref[i + 1, yc], m0_ref[i + 2, yc]]
 
     par = _window_dma([feats_ref], [scr2], sems, own_ref, m0_ref,
-                      cap=cap, S_pad=S_pad, NYC=NYC, gx=gx)
+                      cap=cap, g=g, dma_prefetch=dma_prefetch)
     scratch = scr2.at[par]
     if gate[0] == "dma0":
         # floor probe: grid + occupancy-gated window DMA, no compute/writes
@@ -553,7 +570,7 @@ def _density_kernel(own_ref, m0_ref, params_ref, feats_ref, out_ref,
         pa = params_ref[0, _P_PRESSURE] * 0.5
         pb = -params_ref[0, _P_PRESSURE] * target * 0.5
         npa = params_ref[0, _P_NEAR_PRESSURE] * 0.5
-        qs = _CLW + _M                 # window-local start of own cells
+        qs = CLW + M                 # window-local start of own cells
 
         # "f"-suffixed gates (e.g. "slabf") fold the kernel-derivative
         # constants into the reciprocal planes; careful: "off" is a base
@@ -588,7 +605,7 @@ def _density_kernel(own_ref, m0_ref, params_ref, feats_ref, out_ref,
             # stubbed out — isolates the non-math floor of the pass
             def q_body(qb, _):
                 q0 = pl.multiple_of(qb * 8, 8)
-                qpos = scratch[0, pl.ds(q0, 8), pl.ds(qs, _T)]
+                qpos = scratch[0, pl.ds(q0, 8), pl.ds(qs, T)]
                 write_out(pl.ds(q0, 8), qpos, qpos)
                 return 0
 
@@ -598,22 +615,22 @@ def _density_kernel(own_ref, m0_ref, params_ref, feats_ref, out_ref,
         if gate[0] == "qrow":
             def q_body(q, _):
                 qsl = pl.ds(q, 1)
-                qpos = [scratch[a, qsl, pl.ds(qs, _T)] for a in range(dim)]
-                acc_scr[0] = jnp.zeros((8, _T), jnp.float32)
-                acc_scr[1] = jnp.zeros((8, _T), jnp.float32)
+                qpos = [scratch[a, qsl, pl.ds(qs, T)] for a in range(dim)]
+                acc_scr[0] = jnp.zeros((8, T), jnp.float32)
+                acc_scr[1] = jnp.zeros((8, T), jnp.float32)
 
                 for c in range(3):
-                    base = c * _CLW + _M
+                    base = c * CLW + M
                     for b0 in range(0, cap, 8):
                         @pl.when(occs[c] > b0)
                         def _blk(c=c, b0=b0, base=base):
                             den = acc_scr[0]
                             nden = acc_scr[1]
                             for dy in _offsets_yz(dim, gz):
-                                dist2 = jnp.zeros((8, _T), jnp.float32)
+                                dist2 = jnp.zeros((8, T), jnp.float32)
                                 for a in range(dim):
                                     d_a = (scratch[a, pl.ds(b0, 8),
-                                                   pl.ds(base + dy, _T)]
+                                                   pl.ds(base + dy, T)]
                                            - qpos[a])
                                     dist2 = dist2 + d_a * d_a
                                 v = jnp.maximum(h - jnp.sqrt(dist2), 0.0)
@@ -635,7 +652,7 @@ def _density_kernel(own_ref, m0_ref, params_ref, feats_ref, out_ref,
             return
 
         if gate[0] == "slabw" and dim == 3 and gz >= 3:
-            # "slab" with ONE wide (_T + 2) load per (row, oy) and the 3 oz
+            # "slab" with ONE wide (T + 2) load per (row, oy) and the 3 oz
             # shifts sliced from registers (the qrow3 trick): 3x fewer
             # candidate loads, same dys in the same order -> bit-identical
             # to ("slab", block).
@@ -643,13 +660,13 @@ def _density_kernel(own_ref, m0_ref, params_ref, feats_ref, out_ref,
 
             def q_body(qb, _):
                 q0 = pl.multiple_of(qb * 8, 8)
-                qpos = [scratch[a, pl.ds(q0, 8), pl.ds(qs, _T)]
+                qpos = [scratch[a, pl.ds(q0, 8), pl.ds(qs, T)]
                         for a in range(dim)]
-                acc_scr[0] = jnp.zeros((8, _T), jnp.float32)
-                acc_scr[1] = jnp.zeros((8, _T), jnp.float32)
+                acc_scr[0] = jnp.zeros((8, T), jnp.float32)
+                acc_scr[1] = jnp.zeros((8, T), jnp.float32)
 
                 for c in range(3):
-                    base = c * _CLW + _M
+                    base = c * CLW + M
                     for b0 in range(0, cap, block):
                         @pl.when(occs[c] > b0)
                         def _blk(c=c, b0=b0, base=base):
@@ -660,13 +677,13 @@ def _density_kernel(own_ref, m0_ref, params_ref, feats_ref, out_ref,
                                 for oy in (-1, 0, 1):
                                     w = [scratch[a, s,
                                                  pl.ds(base + oy * gz - 1,
-                                                       _T + 2)]
+                                                       T + 2)]
                                          for a in range(dim)]
                                     for sl in (0, 1, 2):
-                                        dist2 = jnp.zeros((8, _T),
+                                        dist2 = jnp.zeros((8, T),
                                                           jnp.float32)
                                         for a in range(dim):
-                                            d_a = (w[a][sl:sl + _T][None, :]
+                                            d_a = (w[a][sl:sl + T][None, :]
                                                    - qpos[a])
                                             dist2 = dist2 + d_a * d_a
                                         v = jnp.maximum(
@@ -686,22 +703,22 @@ def _density_kernel(own_ref, m0_ref, params_ref, feats_ref, out_ref,
 
         def q_body(qb, _):
             q0 = pl.multiple_of(qb * 8, 8)
-            qpos = [scratch[a, pl.ds(q0, 8), pl.ds(qs, _T)]
+            qpos = [scratch[a, pl.ds(q0, 8), pl.ds(qs, T)]
                     for a in range(dim)]
             # accumulate in a VMEM scratch under pl.when gates: lax.cond
-            # with (8, _T) carries makes Mosaic shuffle the accumulators
+            # with (8, T) carries makes Mosaic shuffle the accumulators
             # through every skipped branch; pl.when has no carries, so the
             # accumulators RMW through VMEM per gated region
-            acc_scr[0] = jnp.zeros((8, _T), jnp.float32)
-            acc_scr[1] = jnp.zeros((8, _T), jnp.float32)
+            acc_scr[0] = jnp.zeros((8, T), jnp.float32)
+            acc_scr[1] = jnp.zeros((8, T), jnp.float32)
 
             def do_rows(rows):
                 den = acc_scr[0]
                 nden = acc_scr[1]
                 for s, cs, _ in rows:
-                    dist2 = jnp.zeros((8, _T), jnp.float32)
+                    dist2 = jnp.zeros((8, T), jnp.float32)
                     for a in range(dim):
-                        d_a = (scratch[a, s, pl.ds(cs, _T)][None, :]
+                        d_a = (scratch[a, s, pl.ds(cs, T)][None, :]
                                - qpos[a])
                         dist2 = dist2 + d_a * d_a
                     # empty slots hold _FAR -> v clamps to 0: the distance
@@ -717,7 +734,7 @@ def _density_kernel(own_ref, m0_ref, params_ref, feats_ref, out_ref,
             struct = gate[0][:-1] if fold else gate[0]
             if struct == "slabw":   # 2-D / tiny-gz fallback: plain slab
                 struct = "slab"
-            _gated_slot_loops(occs, do_rows, dim=dim, cap=cap, gz=gz,
+            _gated_slot_loops(occs, do_rows, dim=dim, cap=cap, gz=gz, g=g,
                               struct=struct, block=gate[1])
 
             write_out(pl.ds(q0, 8), acc_scr[0] + DENSITY_PADDING,
@@ -728,15 +745,17 @@ def _density_kernel(own_ref, m0_ref, params_ref, feats_ref, out_ref,
 
 
 def _force_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref, out_ref,
-                  scr2, dscr2, acc_scr, sems, *, dim, cap, gz,
-                  S_pad, NYC, gx, gate):
+                  scr2, dscr2, acc_scr, sems, *, dim, cap, g, gate,
+                  dma_prefetch):
+    gz, T, M, CLW = g.gz, g.T, g.M, g.CLW
     i = pl.program_id(0)
     yc = pl.program_id(1)
     occ_own = own_ref[i, yc]
     occs = [m0_ref[i, yc], m0_ref[i + 1, yc], m0_ref[i + 2, yc]]
 
     par = _window_dma([feats_ref, dens_ref], [scr2, dscr2], sems,
-                      own_ref, m0_ref, cap=cap, S_pad=S_pad, NYC=NYC, gx=gx)
+                      own_ref, m0_ref, cap=cap, g=g,
+                      dma_prefetch=dma_prefetch)
     scratch = scr2.at[par]
     dscratch = dscr2.at[par]
 
@@ -748,13 +767,13 @@ def _force_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref, out_ref,
         pow3_der = params_ref[0, _P_POW3_DER]
         spikey_visc = (params_ref[0, _P_SPIKEY]
                        * params_ref[0, _P_VISCOSITY])
-        qs = _CLW + _M
+        qs = CLW + M
 
         if gate[0] == "noop":
             def q_body(qb, _):
                 q0 = pl.multiple_of(qb * 8, 8)
-                qden = dscratch[0, pl.ds(q0, 8), pl.ds(qs, _T)]
-                qpos = scratch[0, pl.ds(q0, 8), pl.ds(qs, _T)]
+                qden = dscratch[0, pl.ds(q0, 8), pl.ds(qs, T)]
+                qpos = scratch[0, pl.ds(q0, 8), pl.ds(qs, T)]
                 out_ref[0, pl.ds(q0, 8), :] = qden
                 out_ref[1, pl.ds(q0, 8), :] = qden
                 for a in range(dim):
@@ -774,10 +793,10 @@ def _force_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref, out_ref,
             # +y fallback), 1/d is folded into the pressure scale so the
             # per-axis update is one fma, and the d == 0 fallback runs on
             # the center tile only (coincident particles share a cell).
-            # "qrow3" additionally loads ONE (8, _T+2) tile per (block, oy)
+            # "qrow3" additionally loads ONE (8, T+2) tile per (block, oy)
             # and slices the three oz variants from registers.
-            # "qrow4"/"qrow5" explicitly broadcast the (1, _T) query context
-            # to (8, _T) once per q (qrow5 also shares oy loads) — probes
+            # "qrow4"/"qrow5" explicitly broadcast the (1, T) query context
+            # to (8, T) once per q (qrow5 also shares oy loads) — probes
             # whether Mosaic re-materializes sublane broadcasts per op.
             # "qdiag1"/"qdiag2" are WRONG-PHYSICS diagnostics (measure
             # only): qdiag1 processes a single dy offset (1/9 the tiles,
@@ -799,26 +818,26 @@ def _force_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref, out_ref,
 
             def q_body(q, _):
                 qsl = pl.ds(q, 1)
-                qpos = [scratch[a, qsl, pl.ds(qs, _T)] for a in range(dim)]
-                qvel = [scratch[dim + a, qsl, pl.ds(qs, _T)]
+                qpos = [scratch[a, qsl, pl.ds(qs, T)] for a in range(dim)]
+                qvel = [scratch[dim + a, qsl, pl.ds(qs, T)]
                         for a in range(dim)]
-                qden = dscratch[0, qsl, pl.ds(qs, _T)]
-                qnden = dscratch[1, qsl, pl.ds(qs, _T)]
-                qprs = dscratch[2, qsl, pl.ds(qs, _T)]
-                qnprs = dscratch[3, qsl, pl.ds(qs, _T)]
-                qden_inv = dscratch[4, qsl, pl.ds(qs, _T)]
+                qden = dscratch[0, qsl, pl.ds(qs, T)]
+                qnden = dscratch[1, qsl, pl.ds(qs, T)]
+                qprs = dscratch[2, qsl, pl.ds(qs, T)]
+                qnprs = dscratch[3, qsl, pl.ds(qs, T)]
+                qden_inv = dscratch[4, qsl, pl.ds(qs, T)]
                 if fold:
                     qden_inv = qden_inv * inv_pow2_der
                 out_ref[0, qsl, :] = qden
                 out_ref[1, qsl, :] = qnden
                 if bcast:
-                    qpos = [jnp.broadcast_to(p, (8, _T)) for p in qpos]
-                    qvel = [jnp.broadcast_to(v, (8, _T)) for v in qvel]
-                    qprs = jnp.broadcast_to(qprs, (8, _T))
-                    qnprs = jnp.broadcast_to(qnprs, (8, _T))
-                    qden_inv = jnp.broadcast_to(qden_inv, (8, _T))
+                    qpos = [jnp.broadcast_to(p, (8, T)) for p in qpos]
+                    qvel = [jnp.broadcast_to(v, (8, T)) for v in qvel]
+                    qprs = jnp.broadcast_to(qprs, (8, T))
+                    qnprs = jnp.broadcast_to(qnprs, (8, T))
+                    qden_inv = jnp.broadcast_to(qden_inv, (8, T))
                 for a in range(dim):
-                    acc_scr[a] = jnp.zeros((8, _T), jnp.float32)
+                    acc_scr[a] = jnp.zeros((8, T), jnp.float32)
 
                 def pair_tile(cand, dsc, is_center, force, slot_ids):
                     d = [cand[a] - qpos[a] for a in range(dim)]
@@ -861,7 +880,7 @@ def _force_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref, out_ref,
                         force[a] = f
 
                 for c in range(3):
-                    base = c * _CLW + _M
+                    base = c * CLW + M
                     for b0 in range(0, cap, 8):
                         @pl.when(occs[c] > b0)
                         def _blk(c=c, b0=b0, base=base):
@@ -872,21 +891,21 @@ def _force_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref, out_ref,
                             if shared_oy:
                                 for oy in (-1, 0, 1):
                                     w0 = base + oy * gz - 1
-                                    w = [scratch[a, bsl, pl.ds(w0, _T + 2)]
+                                    w = [scratch[a, bsl, pl.ds(w0, T + 2)]
                                          for a in range(2 * dim)]
                                     dw = [dscratch[k, bsl,
-                                                   pl.ds(w0, _T + 2)]
+                                                   pl.ds(w0, T + 2)]
                                           for k in (2, 3, 4, 5)]
                                     for oz in (0, 1, 2):
                                         pair_tile(
-                                            [t[:, oz:oz + _T] for t in w],
-                                            [t[:, oz:oz + _T] for t in dw],
+                                            [t[:, oz:oz + T] for t in w],
+                                            [t[:, oz:oz + T] for t in dw],
                                             c == 1 and oy == 0 and oz == 1,
                                             force, slot_ids)
                             else:
                                 dys = [0] if diag1 else _offsets_yz(dim, gz)
                                 for dy in dys:
-                                    cs = pl.ds(base + dy, _T)
+                                    cs = pl.ds(base + dy, T)
                                     pair_tile(
                                         [scratch[a, bsl, cs]
                                          for a in range(2 * dim)],
@@ -908,23 +927,23 @@ def _force_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref, out_ref,
         if gate[0] == "qrow":
             def q_body(q, _):
                 qsl = pl.ds(q, 1)
-                qpos = [scratch[a, qsl, pl.ds(qs, _T)] for a in range(dim)]
-                qvel = [scratch[dim + a, qsl, pl.ds(qs, _T)]
+                qpos = [scratch[a, qsl, pl.ds(qs, T)] for a in range(dim)]
+                qvel = [scratch[dim + a, qsl, pl.ds(qs, T)]
                         for a in range(dim)]
-                qden = dscratch[0, qsl, pl.ds(qs, _T)]
-                qnden = dscratch[1, qsl, pl.ds(qs, _T)]
+                qden = dscratch[0, qsl, pl.ds(qs, T)]
+                qnden = dscratch[1, qsl, pl.ds(qs, T)]
                 # EOS half-pressures + reciprocal precomputed by the
                 # density pass (planes 2-5) — no per-pair divides here
-                qprs = dscratch[2, qsl, pl.ds(qs, _T)]
-                qnprs = dscratch[3, qsl, pl.ds(qs, _T)]
-                qden_inv = dscratch[4, qsl, pl.ds(qs, _T)]
+                qprs = dscratch[2, qsl, pl.ds(qs, T)]
+                qnprs = dscratch[3, qsl, pl.ds(qs, T)]
+                qden_inv = dscratch[4, qsl, pl.ds(qs, T)]
                 out_ref[0, qsl, :] = qden       # den passthrough
                 out_ref[1, qsl, :] = qnden      # nden passthrough
                 for a in range(dim):
-                    acc_scr[a] = jnp.zeros((8, _T), jnp.float32)
+                    acc_scr[a] = jnp.zeros((8, T), jnp.float32)
 
                 for c in range(3):
-                    base = c * _CLW + _M
+                    base = c * CLW + M
                     for b0 in range(0, cap, 8):
                         @pl.when(occs[c] > b0)
                         def _blk(c=c, b0=b0, base=base):
@@ -933,8 +952,8 @@ def _force_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref, out_ref,
                                 jnp.int32, (8, 1), 0)
                             force = [acc_scr[a] for a in range(dim)]
                             for dy in _offsets_yz(dim, gz):
-                                cs = pl.ds(base + dy, _T)
-                                dist2 = jnp.zeros((8, _T), jnp.float32)
+                                cs = pl.ds(base + dy, T)
+                                dist2 = jnp.zeros((8, T), jnp.float32)
                                 for a in range(dim):
                                     d_a = scratch[a, bsl, cs] - qpos[a]
                                     dist2 = dist2 + d_a * d_a
@@ -986,35 +1005,35 @@ def _force_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref, out_ref,
 
         def q_body(qb, _):
             q0 = pl.multiple_of(qb * 8, 8)
-            qden = dscratch[0, pl.ds(q0, 8), pl.ds(qs, _T)]
-            qnden = dscratch[1, pl.ds(q0, 8), pl.ds(qs, _T)]
+            qden = dscratch[0, pl.ds(q0, 8), pl.ds(qs, T)]
+            qnden = dscratch[1, pl.ds(q0, 8), pl.ds(qs, T)]
             # acc = F_pressure/rho_self + mu*F_visc: both per-query factors
             # (1/rho_self into the pressure scale, mu into the viscosity
             # weight) are folded into the per-pair terms so ONE accumulator
             # set carries the whole acceleration. Query context is HOISTED
             # out of the gated regions: measured (micro6 r3) hoisted
             # ("slab", 8) = 74.5 ms vs 118.5 with per-region VMEM re-loads.
-            qprs = dscratch[2, pl.ds(q0, 8), pl.ds(qs, _T)]
-            qnprs = dscratch[3, pl.ds(q0, 8), pl.ds(qs, _T)]
-            qden_inv = dscratch[4, pl.ds(q0, 8), pl.ds(qs, _T)]
-            qpos = [scratch[a, pl.ds(q0, 8), pl.ds(qs, _T)]
+            qprs = dscratch[2, pl.ds(q0, 8), pl.ds(qs, T)]
+            qnprs = dscratch[3, pl.ds(q0, 8), pl.ds(qs, T)]
+            qden_inv = dscratch[4, pl.ds(q0, 8), pl.ds(qs, T)]
+            qpos = [scratch[a, pl.ds(q0, 8), pl.ds(qs, T)]
                     for a in range(dim)]
-            qvel = [scratch[dim + a, pl.ds(q0, 8), pl.ds(qs, _T)]
+            qvel = [scratch[dim + a, pl.ds(q0, 8), pl.ds(qs, T)]
                     for a in range(dim)]
             out_ref[0, pl.ds(q0, 8), :] = qden      # den passthrough
             out_ref[1, pl.ds(q0, 8), :] = qnden     # nden passthrough
 
             for a in range(dim):
-                acc_scr[a] = jnp.zeros((8, _T), jnp.float32)
+                acc_scr[a] = jnp.zeros((8, T), jnp.float32)
 
             def do_rows(rows):
                 row_ids = q0 + jax.lax.broadcasted_iota(
                     jnp.int32, (8, 1), 0)
                 force = [acc_scr[a] for a in range(dim)]
                 for s, cs, is_center in rows:
-                    dist2 = jnp.zeros((8, _T), jnp.float32)
+                    dist2 = jnp.zeros((8, T), jnp.float32)
                     for a in range(dim):
-                        d_a = (scratch[a, s, pl.ds(cs, _T)][None, :]
+                        d_a = (scratch[a, s, pl.ds(cs, T)][None, :]
                                - qpos[a])
                         dist2 = dist2 + d_a * d_a
                     sel = dist2 <= h2
@@ -1036,33 +1055,33 @@ def _force_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref, out_ref,
                     # rows above a chunk's occupancy hold unwritten garbage
                     # (possibly NaN), always distance-masked — but
                     # 0 * NaN = NaN, where() discards it
-                    shared_p = qprs + dscratch[2, s, pl.ds(cs, _T)][None, :]
+                    shared_p = qprs + dscratch[2, s, pl.ds(cs, T)][None, :]
                     shared_np = (qnprs
-                                 + dscratch[3, s, pl.ds(cs, _T)][None, :])
+                                 + dscratch[3, s, pl.ds(cs, T)][None, :])
                     v = dc - h
                     scale = jnp.where(sel, qden_inv * (
                         shared_p * (v * pow2_der)
-                        * dscratch[4, s, pl.ds(cs, _T)][None, :]
+                        * dscratch[4, s, pl.ds(cs, T)][None, :]
                         + shared_np * (v * v * pow3_der)
-                        * dscratch[5, s, pl.ds(cs, _T)][None, :]), 0.0)
+                        * dscratch[5, s, pl.ds(cs, T)][None, :]), 0.0)
                     # no viscosity mask: far pairs have dc2 == h2 exactly
                     # -> hv = 0; the self pair has dvel = 0
                     hv = h2 - dc2
                     w_visc = (hv * hv * hv) * spikey_visc
 
                     for a in range(dim):
-                        dir_a = (scratch[a, s, pl.ds(cs, _T)][None, :]
+                        dir_a = (scratch[a, s, pl.ds(cs, T)][None, :]
                                  - qpos[a]) * inv
                         if a == 1:
                             # +y fallback at d == 0 (wgsl:243-248)
                             dir_a = dir_a + zero_dist
-                        vel_n = scratch[dim + a, s, pl.ds(cs, _T)][None, :]
+                        vel_n = scratch[dim + a, s, pl.ds(cs, T)][None, :]
                         force[a] = (force[a] + dir_a * scale
                                     + (vel_n - qvel[a]) * w_visc)
                 for a in range(dim):
                     acc_scr[a] = force[a]
 
-            _gated_slot_loops(occs, do_rows, dim=dim, cap=cap, gz=gz,
+            _gated_slot_loops(occs, do_rows, dim=dim, cap=cap, gz=gz, g=g,
                               struct=gate[0], block=gate[1])
 
             for a in range(dim):
@@ -1074,8 +1093,9 @@ def _force_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref, out_ref,
 
 def _force_sym_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref,
                       out_ref, scr2, dscr2, acc_scr, sameb, nextb,
-                      sems, *, dim, cap, gz, S_pad, NYC, gx, sym=True,
-                      sym_same=True, sym_next=True, wide=False, probe=None):
+                      sems, *, dim, cap, g, sym=True,
+                      sym_same=True, sym_next=True, wide=False, probe=None,
+                      dma_prefetch=True, flush_gated=True):
     """Newton's-third-law force pass ("qsym"): every unordered pair is
     evaluated ONCE and its force applied to BOTH particles.
 
@@ -1094,12 +1114,12 @@ def _force_sym_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref,
     the TPU grid's SEQUENTIAL execution ("arbitrary" dimension semantics)
     and keeps two persistent VMEM accumulators across grid steps:
 
-    * ``sameb`` (dim, NYC, cap, _T+256): per-chunk blocks of the own slab.
+    * ``sameb`` (dim, NYC, cap, T+256): per-chunk blocks of the own slab.
       Chunk yc's within-slab writes (dy in (0, gz+1]) land entirely in
       block yc (the 128-lane block margins absorb the reach); the part
       spilling past the chunk's lanes is read back by chunk yc+1 — the
       NEXT grid step — via the block-margin overlap.
-    * ``nextb`` (2, dim, NYC, cap, _T+256): same block layout for slab
+    * ``nextb`` (2, dim, NYC, cap, T+256): same block layout for slab
       x+1 contributions, ping-ponged by slab parity — partition (i+1)%2
       accumulates while partition i%2 (filled during slab i-1) is read
       into this slab's output tiles and re-zeroed for slab i+1.
@@ -1113,11 +1133,12 @@ def _force_sym_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref,
         # floor probe: completely empty body — measures the grid machinery
         # + whatever output movement the out_specs imply, nothing else
         return
+    gz, NYC, T, M, CLW = g.gz, g.NYC, g.T, g.M, g.CLW
     i = pl.program_id(0)
     yc = pl.program_id(1)
     occ_own = own_ref[i, yc]
     occs = [m0_ref[i, yc], m0_ref[i + 1, yc], m0_ref[i + 2, yc]]
-    W = _T + 256
+    W = T + 256
     wpar = (i + 1) % 2
     rpar = i % 2
 
@@ -1130,8 +1151,8 @@ def _force_sym_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref,
 
     slabs = (1, 2) if (sym and sym_next) else (0, 1, 2)
     par = _window_dma([feats_ref, dens_ref], [scr2, dscr2], sems,
-                      own_ref, m0_ref, cap=cap, S_pad=S_pad, NYC=NYC,
-                      gx=gx, slabs=slabs)
+                      own_ref, m0_ref, cap=cap, g=g,
+                      dma_prefetch=dma_prefetch, slabs=slabs)
     scratch = scr2.at[par]
     dscratch = dscr2.at[par]
     if probe == "dma0":
@@ -1141,7 +1162,7 @@ def _force_sym_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref,
     # acc output tiles must be fully defined even for empty chunks (the
     # flush below may add neighbor-chunk contributions to any row)
     for a in range(dim):
-        out_ref[2 + a] = jnp.zeros((cap, _T), jnp.float32)
+        out_ref[2 + a] = jnp.zeros((cap, T), jnp.float32)
 
     @pl.when(occ_own > 0)
     def _run():
@@ -1151,23 +1172,23 @@ def _force_sym_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref,
         pow3_der = params_ref[0, _P_POW3_DER]
         spikey_visc = (params_ref[0, _P_SPIKEY]
                        * params_ref[0, _P_VISCOSITY])
-        qs = _CLW + _M
+        qs = CLW + M
 
         def q_body(q, _):
             qsl = pl.ds(q, 1)
-            qpos = [scratch[a, qsl, pl.ds(qs, _T)] for a in range(dim)]
-            qvel = [scratch[dim + a, qsl, pl.ds(qs, _T)]
+            qpos = [scratch[a, qsl, pl.ds(qs, T)] for a in range(dim)]
+            qvel = [scratch[dim + a, qsl, pl.ds(qs, T)]
                     for a in range(dim)]
-            qden = dscratch[0, qsl, pl.ds(qs, _T)]
-            qnden = dscratch[1, qsl, pl.ds(qs, _T)]
-            qprs = dscratch[2, qsl, pl.ds(qs, _T)]
-            qnprs = dscratch[3, qsl, pl.ds(qs, _T)]
-            qden_inv = dscratch[4, qsl, pl.ds(qs, _T)]
-            qnden_inv = dscratch[5, qsl, pl.ds(qs, _T)]
+            qden = dscratch[0, qsl, pl.ds(qs, T)]
+            qnden = dscratch[1, qsl, pl.ds(qs, T)]
+            qprs = dscratch[2, qsl, pl.ds(qs, T)]
+            qnprs = dscratch[3, qsl, pl.ds(qs, T)]
+            qden_inv = dscratch[4, qsl, pl.ds(qs, T)]
+            qnden_inv = dscratch[5, qsl, pl.ds(qs, T)]
             out_ref[0, qsl, :] = qden
             out_ref[1, qsl, :] = qnden
             for a in range(dim):
-                acc_scr[a] = jnp.zeros((8, _T), jnp.float32)
+                acc_scr[a] = jnp.zeros((8, T), jnp.float32)
 
             def pair_tile(cand, dsc, mode, force, slot_ids, cbuf, b0, dy):
                 """mode: 0 normal, 1 center (slot>q + d==0 fallback)."""
@@ -1217,13 +1238,13 @@ def _force_sym_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref,
                         fc = fc + zero_dist * scale_j
                     force[a] = force[a] + fq
                     if cbuf is not None:
-                        lane = pl.ds(128 + dy, _T)
+                        lane = pl.ds(128 + dy, T)
                         cbuf[a][pl.ds(b0, 8), lane] = (
                             cbuf[a][pl.ds(b0, 8), lane] + fc)
 
             slab_list = [1, 2] if (sym and sym_next) else [0, 1, 2]
             for c in slab_list:
-                base = c * _CLW + _M
+                base = c * CLW + M
                 dys = _offsets_yz(dim, gz)
                 cbuf = None
                 if sym and c == 1 and sym_same:
@@ -1240,13 +1261,13 @@ def _force_sym_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref,
                             jnp.int32, (8, 1), 0)
                         force = [acc_scr[a] for a in range(dim)]
                         if wide and dim == 3:
-                            # ONE (8, _T+2) load per (block, oy) plane,
+                            # ONE (8, T+2) load per (block, oy) plane,
                             # the 3 oz variants sliced from registers —
                             # the qrow3 trick (micro9) applied to qsym.
                             # Same dys in the same order as the narrow
                             # path, so the accumulation is BIT-IDENTICAL.
                             for oy, ozs in _oy_groups(dys, gz):
-                                w0 = pl.ds(base + oy * gz - 1, _T + 2)
+                                w0 = pl.ds(base + oy * gz - 1, T + 2)
                                 w = [scratch[a, bsl, w0]
                                      for a in range(2 * dim)]
                                 dw = [dscratch[k, bsl, w0]
@@ -1255,13 +1276,13 @@ def _force_sym_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref,
                                     dy = oy * gz + oz
                                     sl = oz + 1
                                     pair_tile(
-                                        [t[:, sl:sl + _T] for t in w],
-                                        [t[:, sl:sl + _T] for t in dw],
+                                        [t[:, sl:sl + T] for t in w],
+                                        [t[:, sl:sl + T] for t in dw],
                                         1 if (c == 1 and dy == 0) else 0,
                                         force, slot_ids, cbuf, b0, dy)
                         else:
                             for dy in dys:
-                                w0 = pl.ds(base + dy, _T)
+                                w0 = pl.ds(base + dy, T)
                                 pair_tile(
                                     [scratch[a, bsl, w0]
                                      for a in range(2 * dim)],
@@ -1292,7 +1313,7 @@ def _force_sym_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref,
     # changes nothing (x + 0.0 == x for every written value) and drops
     # ~cap/8-1 of the (8, W) tile ops per chunk at settled occupancy. ----
     def _gated_blocks(bound, do_block):
-        if not _FLUSH_GATED:       # A/B knob (benchmarks/micro27)
+        if not flush_gated:        # A/B knob (cfg.flush_gated, micro27)
             for b0 in range(0, cap, 8):
                 do_block(b0)
             return
@@ -1304,8 +1325,8 @@ def _force_sym_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref,
     def _flush_own(b0):
         bsl = pl.ds(b0, 8)
         for a in range(dim):
-            add = (sameb[a, yc, bsl, pl.ds(128, _T)]
-                   + nextb[rpar, a, yc, bsl, pl.ds(128, _T)])
+            add = (sameb[a, yc, bsl, pl.ds(128, T)]
+                   + nextb[rpar, a, yc, bsl, pl.ds(128, T)])
             out_ref[2 + a, bsl, :] = out_ref[2 + a, bsl, :] + add
 
     _gated_blocks(m0_ref[i + 1, yc], _flush_own)
@@ -1317,8 +1338,8 @@ def _force_sym_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref,
         def _do(b0):
             bsl = pl.ds(b0, 8)
             for a in range(dim):
-                add = (sameb[a, prev, bsl, pl.ds(128 + _T, 128)]
-                       + nextb[rpar, a, prev, bsl, pl.ds(128 + _T, 128)])
+                add = (sameb[a, prev, bsl, pl.ds(128 + T, 128)]
+                       + nextb[rpar, a, prev, bsl, pl.ds(128 + T, 128)])
                 out_ref[2 + a, bsl, pl.ds(0, 128)] = (
                     out_ref[2 + a, bsl, pl.ds(0, 128)] + add)
             # block yc-1's last reader is this step: re-zero for reuse
@@ -1336,8 +1357,8 @@ def _force_sym_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref,
         def _do(b0):
             bsl = pl.ds(b0, 8)
             for a in range(dim):
-                out_ref[2 + a, bsl, pl.ds(_T - 128, 128)] = (
-                    out_ref[2 + a, bsl, pl.ds(_T - 128, 128)]
+                out_ref[2 + a, bsl, pl.ds(T - 128, 128)] = (
+                    out_ref[2 + a, bsl, pl.ds(T - 128, 128)]
                     + nextb[rpar, a, nxt, bsl, pl.ds(0, 128)])
 
         _gated_blocks(m0_ref[i + 1, nxt], _do)
@@ -1389,17 +1410,19 @@ def _run_density(planes, own, m0, params_vec, cfg, interpret, gate=None,
     zero-bound runs): shrink the auto-pipelined output window, or park the
     output in HBM with no per-step window movement at all — they bisect the
     zero-work floor into grid machinery vs output-pipeline cost."""
-    gx, gy, gz, S, S_pad, NYC, PAD, L = _geometry(cfg)
+    g = _geometry(cfg)
+    gx, gy, gz, S, S_pad, NYC, PAD, L = g[:8]
+    T, CLW = g.T, g.CLW
     dim, cap = cfg.dim, _cap_pad(cfg.cell_capacity)
     NB = cap // 8
-    body = functools.partial(_density_kernel, dim=dim, cap=cap, gz=gz,
-                             S_pad=S_pad, NYC=NYC, gx=gx,
-                             gate=gate or _DENSITY_GATE)
+    body = functools.partial(_density_kernel, dim=dim, cap=cap, g=g,
+                             gate=gate or cfg.density_gate or _DENSITY_GATE,
+                             dma_prefetch=cfg.dma_prefetch)
     if out_any:
         out_spec = pl.BlockSpec(memory_space=pl.ANY)
     else:
         out_spec = pl.BlockSpec(
-            (out_planes, cap, _T),
+            (out_planes, cap, T),
             lambda i, yc, *_: (0, 0, (NYC + 1) + i * NYC + yc),
             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1412,8 +1435,8 @@ def _run_density(planes, own, m0, params_vec, cfg, interpret, gate=None,
         ],
         out_specs=out_spec,
         scratch_shapes=[
-            pltpu.VMEM((2, dim, cap, 3 * _CLW), jnp.float32),
-            pltpu.VMEM((2, 8, _T), jnp.float32),
+            pltpu.VMEM((2, dim, cap, 3 * CLW), jnp.float32),
+            pltpu.VMEM((2, 8, T), jnp.float32),
             pltpu.SemaphoreType.DMA((3, NB, 1)),
         ],
     )
@@ -1432,10 +1455,12 @@ def _run_force(planes, dens, own, m0, params_vec, cfg, interpret, gate=None,
     """``out_any`` is a FLOOR-PROBE knob (benchmarks only): park the output
     in HBM with no auto-pipelined window movement (pairs with the "+grid0"
     / "+dma0" gate suffixes, which stub the kernel body)."""
-    gx, gy, gz, S, S_pad, NYC, PAD, L = _geometry(cfg)
+    g = _geometry(cfg)
+    gx, gy, gz, S, S_pad, NYC, PAD, L = g[:8]
+    T, CLW = g.T, g.CLW
     dim, cap = cfg.dim, _cap_pad(cfg.cell_capacity)
     NB = cap // 8
-    gate = gate or _FORCE_GATE
+    gate = gate or cfg.force_gate or _FORCE_GATE
     g0, probe = gate[0], None
     if "+" in g0:   # e.g. ("qsym+grid0", 8): probe suffix on a base gate
         g0, probe = g0.split("+", 1)
@@ -1446,28 +1471,30 @@ def _run_force(planes, dens, own, m0, params_vec, cfg, interpret, gate=None,
                 f"qsym force pass needs grid z-dim <= 127 (candidate-write "
                 f"block margins are 128 lanes); got {gz}")
         body = functools.partial(_force_sym_kernel, dim=dim, cap=cap,
-                                 gz=gz, S_pad=S_pad, NYC=NYC, gx=gx,
+                                 g=g,
                                  sym=g0 != "qsym0",
                                  sym_same=g0 in ("qsym", "qsymw", "qsym1"),
                                  sym_next=g0 in ("qsym", "qsymw", "qsym2"),
                                  wide=g0 == "qsymw" and gz >= 3,
-                                 probe=probe)
+                                 probe=probe,
+                                 dma_prefetch=cfg.dma_prefetch,
+                                 flush_gated=cfg.flush_gated)
         extra_scratch = [
-            pltpu.VMEM((dim, NYC, cap, _T + 256), jnp.float32),
-            pltpu.VMEM((2, dim, NYC, cap, _T + 256), jnp.float32),
+            pltpu.VMEM((dim, NYC, cap, T + 256), jnp.float32),
+            pltpu.VMEM((2, dim, NYC, cap, T + 256), jnp.float32),
         ]
         semantics = ("arbitrary", "arbitrary")
     else:
-        body = functools.partial(_force_kernel, dim=dim, cap=cap, gz=gz,
-                                 S_pad=S_pad, NYC=NYC, gx=gx,
-                                 gate=(g0, gate[1]))
+        body = functools.partial(_force_kernel, dim=dim, cap=cap, g=g,
+                                 gate=(g0, gate[1]),
+                                 dma_prefetch=cfg.dma_prefetch)
         extra_scratch = []
         semantics = None
     if out_any:
         out_spec = pl.BlockSpec(memory_space=pl.ANY)
     else:
         out_spec = pl.BlockSpec(
-            (2 + dim, cap, _T),
+            (2 + dim, cap, T),
             lambda i, yc, *_: (0, 0, (NYC + 1) + i * NYC + yc),
             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1481,9 +1508,9 @@ def _run_force(planes, dens, own, m0, params_vec, cfg, interpret, gate=None,
         ],
         out_specs=out_spec,
         scratch_shapes=[
-            pltpu.VMEM((2, 2 * dim, cap, 3 * _CLW), jnp.float32),
-            pltpu.VMEM((2, 6, cap, 3 * _CLW), jnp.float32),
-            pltpu.VMEM((dim, 8, _T), jnp.float32),
+            pltpu.VMEM((2, 2 * dim, cap, 3 * CLW), jnp.float32),
+            pltpu.VMEM((2, 6, cap, 3 * CLW), jnp.float32),
+            pltpu.VMEM((dim, 8, T), jnp.float32),
         ] + extra_scratch + [
             pltpu.SemaphoreType.DMA((3, NB, 2)),
         ],
@@ -1518,17 +1545,19 @@ def gather_results(out_c: Array, addr: Array, dropped: Array, params):
 
 def bucket_sph(predicted: Array, vel: Array, params: SimParams,
                coeffs: KernelCoeffs, cfg: SimConfig,
-               interpret: bool | None = None):
+               interpret: bool | None = None,
+               time: Array | None = None):
     """Pallas-accelerated bucket SPH: same contract as ops.grid.bucket_sph —
     per-particle (den, nden, prs, nprs, acc, overflow).
 
     interpret=None auto-selects: compiled on TPU, interpreter elsewhere (so
     neighbor_mode='pallas' stays usable — if slow — on CPU)."""
-    gx, gy, gz, S, S_pad, NYC, PAD, L = _geometry(cfg)
+    g = _geometry(cfg)
+    gx, gy, gz, S, S_pad, NYC, PAD, L = g[:8]
 
     planes, counts, addr, overflow = _build_slab_buckets(
-        predicted, vel, params, cfg)
-    own, m0 = occupancy_bounds(counts, gx, S_pad, PAD, gz)
+        predicted, vel, params, cfg, time=time)
+    own, m0 = occupancy_bounds(counts, g)
     dropped = addr == _cap_pad(cfg.cell_capacity) * L
 
     den, nden, prs, nprs, acc, unrescued, _ = sph_passes(
@@ -1539,7 +1568,8 @@ def bucket_sph(predicted: Array, vel: Array, params: SimParams,
 
 def bucket_sph_sorted(pos: Array, vel: Array, predicted: Array, ids: Array,
                       params: SimParams, coeffs: KernelCoeffs,
-                      cfg: SimConfig, interpret: bool | None = None):
+                      cfg: SimConfig, interpret: bool | None = None,
+                      time: Array | None = None):
     """``bucket_sph`` for the sorted-state step (cfg.sorted_state): all
     per-particle results come back in THIS step's bucket (cell-sorted) order
     together with the same-order (pos, vel, ids) rows, instead of being
@@ -1555,14 +1585,15 @@ def bucket_sph_sorted(pos: Array, vel: Array, predicted: Array, ids: Array,
 
     Returns (den, nden, prs, nprs, acc, unrescued, s_pos, s_vel, s_ids),
     everything in sorted order."""
-    gx, gy, gz, S, S_pad, NYC, PAD, L = _geometry(cfg)
+    g = _geometry(cfg)
+    gx, gy, gz, S, S_pad, NYC, PAD, L = g[:8]
     dim = cfg.dim
 
     ids_f = jax.lax.bitcast_convert_type(ids, jnp.float32)[:, None]
     carry = jnp.concatenate([pos, ids_f], axis=1)
     planes, counts, flat, _, srows, overflow = _build_core(
-        predicted, vel, params, cfg, carry=carry)
-    own, m0 = occupancy_bounds(counts, gx, S_pad, PAD, gz)
+        predicted, vel, params, cfg, carry=carry, time=time)
+    own, m0 = occupancy_bounds(counts, g)
     dropped = flat == _cap_pad(cfg.cell_capacity) * L
 
     s_pred = srows[:, :dim]
@@ -1593,7 +1624,8 @@ def sph_passes(planes: Array, own: Array, m0: Array, addr: Array,
         interpret = jax.default_backend() != "tpu"
     dim = cfg.dim
     cap = cfg.cell_capacity
-    gx, gy, gz, S, S_pad, NYC, PAD, L = _geometry(cfg)
+    g = _geometry(cfg)
+    gx, gy, gz, S, S_pad, NYC, PAD, L = g[:8]
     n = predicted.shape[0]
     params_vec = _param_vector(params, coeffs)
 

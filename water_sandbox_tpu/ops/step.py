@@ -54,11 +54,12 @@ def step(state: FluidState, params: SimParams, cfg: SimConfig,
         overflow = jnp.zeros((), jnp.int32)
     elif cfg.neighbor_mode == "pallas" and _pallas_sph is not None:
         density, near_density, pressure, near_pressure, acc, overflow = (
-            _pallas_sph.bucket_sph(predicted, state.vel, params, coeffs, cfg))
+            _pallas_sph.bucket_sph(predicted, state.vel, params, coeffs, cfg,
+                                   time=state.time))
     elif cfg.neighbor_mode in ("bucket_grid", "pallas"):
         density, near_density, pressure, near_pressure, acc, overflow = (
             grid_mod.bucket_sph(predicted, state.vel, params, coeffs, cfg,
-                                constrain=constrain))
+                                constrain=constrain, time=state.time))
     elif cfg.neighbor_mode == "hash_grid":
         density, near_density, pressure, near_pressure, acc, overflow = (
             grid_mod.hash_sph(predicted, state.vel, params, coeffs, cfg))
@@ -95,7 +96,7 @@ def _sorted_pallas_step(state: FluidState, params: SimParams,
     (density, near_density, pressure, near_pressure, acc, overflow,
      s_pos, s_vel, s_ids) = _pallas_sph.bucket_sph_sorted(
         state.pos, state.vel, state.predicted, state.ids, params, coeffs,
-        cfg)
+        cfg, time=state.time)
     t_new = state.time + params.dt
     pos, vel, predicted = integrate_mod.integrate(
         s_pos, s_vel, acc, params, t_new)

@@ -354,7 +354,8 @@ def _sph_local_pallas(pred, vel, active, params, coeffs, cfg, gx_loc, axis,
     dim = cfg.dim
     cfg_loc = dataclasses.replace(
         cfg, grid_dims=(gx_loc,) + cfg.grid_dims[1:])
-    _, _, gz, S, S_pad, NYC, PAD, L = sb._geometry(cfg_loc)
+    g = sb._geometry(cfg_loc)
+    _, _, gz, S, S_pad, NYC, PAD, L = g[:8]
     cap_p = sb._cap_pad(cfg_loc.cell_capacity)
     Pn = pred.shape[0]
 
@@ -370,7 +371,7 @@ def _sph_local_pallas(pred, vel, active, params, coeffs, cfg, gx_loc, axis,
     # m0 rows 0 / gx_loc+1 read the pad regions the halo slabs landed in,
     # so candidate-row gating covers halo neighbors; queries (gated by
     # `own`) stay local-only — forces are computed by the owner device.
-    own, m0 = sb.occupancy_bounds(counts, gx_loc, S_pad, PAD, gz)
+    own, m0 = sb.occupancy_bounds(counts, g)
     pv = sb._param_vector(params, coeffs)
 
     dens = sb._run_density(feats, own, m0, pv, cfg_loc, interpret)
@@ -849,6 +850,11 @@ def make_domain_step(mesh: Mesh, cfg: SimConfig, mig_cap: int = 256,
     axis = mesh.axis_names[0]
     ndev = mesh.devices.size
     gx = cfg.grid_dims[0]
+    if cfg.grid_frame != "world":
+        raise ValueError(
+            "the domain-decomposed step shards x-slabs of a static WORLD "
+            "grid (_grid_origin_static); grid_frame='container' is a "
+            "single-chip layout optimization — drop it for multi-chip")
     if gx % ndev:
         raise ValueError(f"grid_dims[0]={gx} not divisible by {ndev}")
     gx_loc = gx // ndev
