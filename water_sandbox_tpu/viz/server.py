@@ -4,9 +4,12 @@ velocity coloring, live parameter tuning from the keyboard.
 The TPU-native answer to the reference's presentation layer: pan-orbit
 camera (/root/reference/src/camera.rs:44-61 — drag orbits, wheel zooms,
 shift-drag pans), container wireframe gizmo (src/fluid_container.rs:93-103),
-the HUD keymap (src/hud.rs:130-165 via runtime/keymap.py), and the
+the HUD keymap (src/hud.rs:130-165 via runtime/keymap.py), the
 velocity→color mapping the reference left commented out
-(src/fluid_compute.rs:489-502). Stdlib only (http.server + canvas JS);
+(src/fluid_compute.rs:489-502), and a shaded-sphere mode ('v' key) —
+lit sphere impostors with painter's-algorithm depth sorting, the canvas
+equivalent of the reference's PBR icosphere render
+(src/fluid_compute.rs:444-465). Stdlib only (http.server + canvas JS);
 the simulation steps on-device in the main thread and the browser polls
 ~20 Hz for a subsampled positions/speed frame.
 
@@ -35,7 +38,7 @@ body{margin:0;background:#0b0e14;color:#aab;font:12px monospace;overflow:hidden}
 canvas{display:block}
 </style></head><body>
 <div id="hud"></div><div id="msg">drag orbit · wheel zoom · shift-drag pan ·
-ctrl-drag repel · ctrl+shift-drag attract (mouse field) ·
+ctrl-drag repel · ctrl+shift-drag attract (mouse field) · v spheres/points ·
 keys: 1/2 radius q/w pressure a/s near z/x density e/r viscosity 3/4 gravity
 0/9 g-off/on space reset p pause</div>
 <canvas id="c"></canvas><script>
@@ -97,7 +100,7 @@ function draw(){requestAnimationFrame(draw);if(!frame)return;
  function proj(x,y,z){x-=c[0];y-=c[1];z-=(c[2]||0);
   let X=cy*x+sy*z, Z=-sy*x+cy*z, Y=cp*y-sp*Z; Z=sp*y+cp*Z;
   const s=f/(dist+(is3d?Z:0));
-  return [w/2+panX+X*s, h/2+panY-Y*s, s];}
+  return [w/2+panX+X*s, h/2+panY-Y*s, s, Z];}
  // container wireframe (gizmo, fluid_container.rs:93-103)
  const hx=frame.half[0],hy=frame.half[1],hz=frame.half[2]||0,
        ca=Math.cos(frame.angle||0),sa=Math.sin(frame.angle||0);
@@ -132,13 +135,44 @@ function draw(){requestAnimationFrame(draw);if(!frame)return;
   ctx.moveTo(t1[0],t1[1]);ctx.lineTo(t2[0],t2[1]);ctx.stroke();
  }
  const n=frame.speed.length,P=frame.pos,vmax=frame.vmax||1;
- for(let i=0;i<n;i++){
-  const p=proj(P[i*frame.dim],P[i*frame.dim+1],is3d?P[i*frame.dim+2]:0);
-  const t=Math.min(frame.speed[i]/vmax,1);
-  ctx.fillStyle=`hsl(${200-160*t},90%,${35+40*t}%)`;
-  const r=Math.max(1,p[2]*frame.radius);
-  ctx.fillRect(p[0]-r/2,p[1]-r/2,r,r);}
+ if(shaded){
+  // shaded-sphere mode (v): lit sphere impostors + painter's depth sort —
+  // the canvas answer to the reference's PbrBundle icospheres
+  // (fluid_compute.rs:444-465). Sprites are cached per hue bucket.
+  const pts=[];
+  for(let i=0;i<n;i++){
+   const p=proj(P[i*frame.dim],P[i*frame.dim+1],is3d?P[i*frame.dim+2]:0);
+   const t=Math.min(frame.speed[i]/vmax,1);
+   pts.push([p[0],p[1],p[3]||0,t,p[2]]);}
+  if(is3d)pts.sort((a,b)=>b[2]-a[2]);       // far first
+  for(const q of pts){
+   const d=Math.max(2,q[4]*frame.radius*2);
+   ctx.drawImage(sprite(q[3]),q[0]-d/2,q[1]-d/2,d,d);}
+ }else{
+  for(let i=0;i<n;i++){
+   const p=proj(P[i*frame.dim],P[i*frame.dim+1],is3d?P[i*frame.dim+2]:0);
+   const t=Math.min(frame.speed[i]/vmax,1);
+   ctx.fillStyle=`hsl(${200-160*t},90%,${35+40*t}%)`;
+   const r=Math.max(1,p[2]*frame.radius);
+   ctx.fillRect(p[0]-r/2,p[1]-r/2,r,r);}
+ }
  drawField(fp=>proj(fp[0],fp[1],is3d?(fp[2]||0):0));
+}
+let shaded=false;
+const spriteCache=new Map();
+function sprite(t){
+ const k=Math.round(t*23);
+ let s=spriteCache.get(k); if(s)return s;
+ s=document.createElement('canvas');s.width=s.height=32;
+ const g=s.getContext('2d');
+ const hue=200-160*(k/23), l=35+30*(k/23);
+ // light from upper-left: offset highlight + darkened limb (PBR-ish)
+ const rg=g.createRadialGradient(12,10,2,16,16,16);
+ rg.addColorStop(0,`hsl(${hue},85%,${Math.min(l+38,92)}%)`);
+ rg.addColorStop(0.55,`hsl(${hue},90%,${l}%)`);
+ rg.addColorStop(1,`hsl(${hue},95%,${Math.max(l-24,6)}%)`);
+ g.fillStyle=rg;g.beginPath();g.arc(16,16,15.5,0,2*Math.PI);g.fill();
+ spriteCache.set(k,s);return s;
 }
 // mouse-field: screen -> world (raster: container-plane affine; points 2D:
 // inverse of the linear proj; points 3D: the camera-facing plane through
@@ -182,6 +216,9 @@ addEventListener('mousemove',e=>{
  drag=[e.clientX,e.clientY,drag[2]];});
 addEventListener('wheel',e=>{dist*=Math.exp(e.deltaY*0.001);});
 addEventListener('keydown',e=>{
+ if(e.key==='v'){shaded=!shaded;
+  document.getElementById('msg').textContent=
+   shaded?'shaded spheres':'points';return;}
  if(e.key.length===1||e.key==='Escape')
   fetch('/key?k='+encodeURIComponent(e.key==='Escape'?'p':e.key))
    .then(r=>r.text()).then(t=>{if(t)document.getElementById('msg').textContent=t;});});
