@@ -233,3 +233,47 @@ def test_trajectory_rejects_indivisible_record_every():
     cfg = SimConfig(n=pts.shape[0], dim=3, neighbor_mode="dense")
     with pytest.raises(ValueError, match="divisible"):
         step_mod.trajectory(init_state(pts), params, cfg, 7, 2)
+
+
+def test_key_coords_container_frame_is_comoving():
+    """Points rigidly attached to a translating+yawing box must have
+    TIME-INVARIANT container-frame key coordinates (ops/hashing.py::
+    key_coords) — this pins the pose plumbing (center + yaw at sim time
+    t), which exactness cannot catch: ANY isometric key frame gives
+    correct physics, but a wrong pose would silently un-trim the
+    body-frame grid the flagship scene relies on (micro45)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from water_sandbox_tpu.core.params import (Container, SimConfig,
+                                               SimParams)
+    from water_sandbox_tpu.ops import hashing
+    from water_sandbox_tpu.ops import integrate as integrate_mod
+
+    container = Container.create(
+        center=(1.0, -0.5, 0.25), size=(4.0, 2.0, 3.0),
+        velocity=(0.3, 0.0, -0.1), angular_velocity=0.7, angle=0.2)
+    params = SimParams.create(dim=3, container=container)
+    cfg = SimConfig(n=8, dim=3, neighbor_mode="pallas",
+                    grid_dims=(8, 8, 8), cell_capacity=8,
+                    grid_frame="container")
+
+    body_pts = (np.random.RandomState(0).rand(8, 3) - 0.5).astype(
+        np.float32)
+    ref = None
+    for t in (0.0, 0.9, 2.3):
+        t = jnp.asarray(t, jnp.float32)
+        center, angle = integrate_mod.container_at(container, t)
+        world = integrate_mod._rotate_yaw(
+            jnp.asarray(body_pts), angle) + center
+        kc = np.asarray(hashing.key_coords(world, params, cfg, t))
+        if ref is None:
+            ref = kc
+        else:
+            np.testing.assert_allclose(kc, ref, rtol=0, atol=3e-6)
+    # world frame: key_coords is the identity and needs no time
+    cfg_w = dataclasses.replace(cfg, grid_frame="world")
+    w = jnp.asarray(body_pts)
+    assert hashing.key_coords(w, params, cfg_w, None) is w

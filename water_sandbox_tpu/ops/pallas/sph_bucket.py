@@ -747,6 +747,13 @@ def _density_kernel(own_ref, m0_ref, params_ref, feats_ref, out_ref,
 def _force_kernel(own_ref, m0_ref, params_ref, feats_ref, dens_ref, out_ref,
                   scr2, dscr2, acc_scr, sems, *, dim, cap, g, gate,
                   dma_prefetch):
+    if gate[0] == "grid0":
+        # floor probe (micro49/51): completely empty body under the
+        # DEFAULT (parallel) grid semantics — the counterpart of the qsym
+        # "+grid0" probe, isolating whether the empty-body machinery cost
+        # is qsym-class-specific (scratch, arbitrary semantics) or
+        # context-level
+        return
     gz, T, M, CLW = g.gz, g.T, g.M, g.CLW
     i = pl.program_id(0)
     yc = pl.program_id(1)
