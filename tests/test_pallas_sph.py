@@ -175,3 +175,38 @@ def test_container_frame_keys_match_world(tmp_path):
     with pytest.raises(ValueError, match="time"):
         sph_bucket.bucket_sph(pred, vel, params, coeffs, cfg_c,
                               interpret=True)
+
+
+def test_container_frame_step_rollout():
+    """Step-level coverage for grid_frame='container': the sorted-state
+    pallas step threads state.time into the bucket build (ops/step.py),
+    and a 3-step rollout with a translating+yawing box must stay finite,
+    bounded and overflow-free on a BODY-frame-sized grid."""
+    import dataclasses
+
+    from water_sandbox_tpu.core.params import Container
+    from water_sandbox_tpu.core.state import init_state
+    from water_sandbox_tpu.models.scenes import cube_fluid
+    from water_sandbox_tpu.ops.step import step
+
+    pts = cube_fluid(6, 6, 6, particle_radius=0.1)
+    n = pts.shape[0]
+    container = Container.create(
+        center=(0.0, 0.0, 0.0), size=(3.0, 3.0, 3.0),
+        velocity=(0.2, 0.0, 0.0), angular_velocity=0.3)
+    params = SimParams.create(dim=3, container=container)
+    cfg = SimConfig(n=n, dim=3, neighbor_mode="pallas",
+                    grid_dims=(14, 14, 14), cell_capacity=8,
+                    grid_frame="container", sorted_state=True)
+    state = init_state(pts)
+    for _ in range(3):
+        state = step(state, params, cfg)
+    pos = np.asarray(state.pos)
+    assert np.isfinite(pos).all()
+    # inside the box posed at the final time (local-frame bound + slack)
+    from water_sandbox_tpu.ops import integrate as integrate_mod
+    center, angle = integrate_mod.container_at(container, state.time)
+    local = np.asarray(integrate_mod._rotate_yaw(
+        jnp.asarray(pos) - center, angle, inverse=True))
+    assert (np.abs(local) <= 1.6).all()
+    assert float(np.asarray(state.overflow_total)) == 0.0
