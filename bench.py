@@ -131,13 +131,16 @@ def main():
             "scene": s.name, "n": s.cfg.n,
             "neighbor_mode": s.cfg.neighbor_mode,  # resolved by Simulation
             "grid_dims": list(s.cfg.grid_dims),
+            "grid_frame": s.cfg.grid_frame,
             "cell_capacity": s.cfg.cell_capacity,
             "sorted_state": s.cfg.sorted_state,
-            "density_gate": list(_sb._DENSITY_GATE),
-            "force_gate": list(_sb._FORCE_GATE),
-            "tile": _sb._pick_tile(
-                s.cfg.grid_dims[1] * (s.cfg.grid_dims[2]
-                                      if s.cfg.dim == 3 else 1)),
+            "density_gate": list(s.cfg.density_gate or _sb._DENSITY_GATE),
+            "force_gate": list(s.cfg.force_gate or _sb._FORCE_GATE),
+            # the ACTUAL lane-tile width (r5: honors cfg.tile_override —
+            # the flagship pins 1024; BENCH_r05's first run mis-reported
+            # the auto-pick 256 here)
+            "tile": _sb._geometry(s.cfg).T,
+            "build_scatter": s.cfg.build_scatter,
             "dt": float(s.params.dt),
             "pressure_scalar": float(s.params.pressure_scalar),
         }
