@@ -351,7 +351,7 @@ class SimConfig:
     # values; non-default settings are a benchmark surface, not a tuning
     # recommendation.
     tile_override: int = 0       # lane-tile width; 0 = auto (_pick_tile)
-    build_scatter: str = "cellmajor"   # "cellmajor" | "stack" | "windowed"
+    build_scatter: str = "stack"   # "stack" | "cellmajor" | "windowed"
     # Kernel gate overrides: () = production defaults (("slab", 8) density,
     # ("qsym", 8) force). Non-default gates are measurement probes (e.g.
     # ("grid0", 8) empty bodies for the production-context cost ledger,
@@ -366,7 +366,8 @@ class SimConfig:
     def __post_init__(self):
         if self.dim not in (2, 3):
             raise ValueError("dim must be 2 or 3")
-        if self.build_scatter not in ("cellmajor", "stack", "windowed"):
+        if self.build_scatter not in ("cellmajor", "stack", "windowed",
+                                      "fused"):
             raise ValueError(f"bad build_scatter {self.build_scatter!r}")
         if self.grid_frame not in ("world", "container"):
             raise ValueError(f"bad grid_frame {self.grid_frame!r}")

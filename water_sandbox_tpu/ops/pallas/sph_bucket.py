@@ -175,19 +175,19 @@ def _scatter_planes(srows: Array, flat: Array, dim: int, cap_p: int,
     capacity-overflow sentinel in ``flat`` is cap_p·L — one past the end —
     and is dropped by the scatter mode, never written.
 
-    ``mode`` (cfg.build_scatter) picks the scatter shape. "cellmajor"
-    (default since r5): 2·dim per-feature scatters at CELL-MAJOR addresses
-    — consecutive sorted particles write adjacent elements (same cell ->
-    adjacent slots, next cell -> next cap_p block) — then a transpose back
-    to the kernels' slot-major (cap_p, L) layout. Measured: isolated build
-    15.53 vs 16.73 ms (micro39), full step 40.28 vs 41.34 ms ssync with
-    bit-identical trajectories (micro41_step_cellmajor_results.json).
-    "stack" is the round-3/4 slot-major shape. "windowed" scatters all
-    features in ONE feature-LEADING windowed scatter (each update writes
-    2·dim values cap·L apart) — measured much slower (micro36: full-chain
-    30.4 ms; micro37 later showed micro36's 8.3 ms "stack" anchor
-    under-counted by DCE, but the full-step A/B was FLAT). Outputs are
-    bit-identical in every mode.
+    ``mode`` (cfg.build_scatter) picks the scatter shape; outputs are
+    bit-identical in every mode (micro41), so flipping the default never
+    regenerates goldens. "stack" (the default — re-adopted late r5):
+    slot-major per-feature scatters + jnp.stack. "cellmajor" scatters at
+    CELL-MAJOR addresses (consecutive sorted particles -> adjacent
+    elements) then transposes back to (cap_p, L); it won the full-step
+    A/B at the round-4 WORLD-frame layout (40.28 vs 41.34, micro41) but
+    LOSES at the round-5 container-frame layout: the transposed planes
+    trigger most of the fresh-operand second-launch tax (micro53) —
+    full step 33.19 vs 30.32 ms stack (micro54_stack_retest). "windowed"
+    scatters all features in ONE feature-LEADING windowed scatter —
+    measured much slower (micro36/39: windowed scatters hit a slow
+    path).
 
     unique_indices caveat: real addresses are unique, but the overflow
     sentinel can repeat across every overflowing particle, technically
@@ -227,6 +227,26 @@ def _scatter_planes(srows: Array, flat: Array, dim: int, cap_p: int,
 
         return jnp.stack([scatter_cm(srows[:, j], _FAR if j < dim else 0.0)
                           for j in range(nf)])
+
+    if mode == "fused":
+        # 2·dim scatters into DISJOINT feature regions of ONE flat buffer
+        # — the jnp.stack copy never materializes. MEASURED KILL
+        # (micro55): the chained same-operand scatters serialize worse
+        # than they save — full step 33.45 vs 30.30 ms stack, probe 18.99
+        # vs 15.60. Kept (bit-identical, CPU-asserted incl. overflow) so
+        # the A/B stays reproducible. The overflow sentinel remaps to the
+        # single extra element PAST all regions (a sentinel left at
+        # cap_p·L would land inside feature j+1's region).
+        PL = cap_p * L
+        out = jnp.concatenate(
+            [jnp.full((PL,), _FAR if j < dim else 0.0, dtype)
+             for j in range(nf)] + [jnp.zeros((1,), dtype)])
+        dropped = flat == PL
+        for j in range(nf):
+            addr = jnp.where(dropped, nf * PL, j * PL + flat)
+            out = out.at[addr].set(srows[:, j], mode="promise_in_bounds",
+                                   unique_indices=True)
+        return out[:-1].reshape(nf, cap_p, L)
 
     def scatter(vals, fill):
         out = jnp.full((cap_p * L + 1,), fill, dtype)
