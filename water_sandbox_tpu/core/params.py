@@ -367,7 +367,7 @@ class SimConfig:
         if self.dim not in (2, 3):
             raise ValueError("dim must be 2 or 3")
         if self.build_scatter not in ("cellmajor", "stack", "windowed",
-                                      "fused"):
+                                      "fused", "stack_barrier"):
             raise ValueError(f"bad build_scatter {self.build_scatter!r}")
         if self.grid_frame not in ("world", "container"):
             raise ValueError(f"bad grid_frame {self.grid_frame!r}")

@@ -248,8 +248,15 @@ def _scatter_planes(srows: Array, flat: Array, dim: int, cap_p: int,
                                    unique_indices=True)
         return out[:-1].reshape(nf, cap_p, L)
 
+    barrier = mode == "stack_barrier"
+
     def scatter(vals, fill):
         out = jnp.full((cap_p * L + 1,), fill, dtype)
+        if barrier:
+            # keep the fill a standalone (memset-fast) op: the fused
+            # fill+scatter loop writes the 21.6 MB fill at scatter-loop
+            # speed — the micro57 trace-guided A/B
+            out = jax.lax.optimization_barrier(out)
         return out.at[flat].set(
             vals, mode="promise_in_bounds",
             unique_indices=True)[:-1].reshape(cap_p, L)
