@@ -210,3 +210,33 @@ def test_container_frame_step_rollout():
         jnp.asarray(pos) - center, angle, inverse=True))
     assert (np.abs(local) <= 1.6).all()
     assert float(np.asarray(state.overflow_total)) == 0.0
+
+
+def test_build_scatter_modes_bit_identical():
+    """Every cfg.build_scatter mode must produce bit-identical planes,
+    addresses and overflow — including duplicate overflow sentinels
+    (cell_capacity 4 forces drops). The mode choice is purely a
+    performance decision (stack vs cellmajor flipped between the r4
+    world-frame and r5 container-frame layouts — micro41/54), so
+    flipping the default must never touch goldens."""
+    import dataclasses
+
+    pred, vel = make_inputs(3, seed=11, n=500)
+    params = SimParams.create(dim=3)
+    base = SimConfig(n=500, dim=3, neighbor_mode="pallas",
+                     grid_dims=(8, 8, 8), cell_capacity=4)
+    ref = None
+    for mode in ("stack", "cellmajor", "windowed", "fused",
+                 "stack_barrier"):
+        cfg = dataclasses.replace(base, build_scatter=mode)
+        planes, counts, addr, ovf = sph_bucket._build_slab_buckets(
+            pred, vel, params, cfg)
+        got = (np.asarray(planes), np.asarray(counts), np.asarray(addr),
+               int(ovf))
+        if ref is None:
+            ref = got
+            assert got[3] > 0, "test must exercise overflow sentinels"
+        else:
+            for a, b in zip(got[:3], ref[:3]):
+                assert (a == b).all(), mode
+            assert got[3] == ref[3], mode
